@@ -1,0 +1,116 @@
+"""Text/entity normalization + text-analysis column expressions.
+
+All pure Column expressions (JVM-side, codegen'd) — no Python UDFs.
+
+Reference semantics re-expressed:
+  * underscore/space normalization — filter_tuples.py:37, ptuningfilter.py:53-54
+  * parenthetical qualifier stripping (del_bar) — ptuning.py:88-106
+plus the training-data text-analysis surface (lang-id heuristic, quality
+scoring, token counting, fingerprinting) required for large-scale corpus
+work (SURVEY.md §5, driver spec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- entity forms
+
+
+def norm_space(col: Column | str) -> Column:
+    """Underscore form → space form: ``David_Beckham`` → ``David Beckham``."""
+    return F.translate(F.col(col) if isinstance(col, str) else col, "_", " ")
+
+
+def norm_underscore(col: Column | str) -> Column:
+    """Space form → underscore form (inverse of :func:`norm_space`)."""
+    return F.translate(F.col(col) if isinstance(col, str) else col, " ", "_")
+
+
+def strip_parenthetical(col: Column | str, max_depth: int = 3) -> Column:
+    """Remove ``( ... )`` qualifier spans, innermost-out, up to ``max_depth``
+    nesting levels (the reference's recursive ``del_bar``, ptuning.py:88-106).
+
+    Iterated regexp_replace stays JVM-side; real-world qualifiers nest ≤2.
+    Also collapses doubled separators left behind (``a__b`` → ``a_b``) and
+    trims stray edge separators.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _ in range(max_depth):
+        c = F.regexp_replace(c, r"\([^()]*\)", "")
+    c = F.regexp_replace(c, r"__+", "_")
+    c = F.regexp_replace(c, r"  +", " ")
+    c = F.regexp_replace(c, r"^[_ ]+|[_ ]+$", "")
+    return c
+
+
+def canonical_entity(col: Column | str) -> Column:
+    """Canonical surface form: strip qualifiers, normalize to underscore form.
+
+    This is the deterministic alias-normalization step that feeds
+    connected-components alias clustering (SURVEY.md §7 step 7).
+    """
+    return norm_underscore(strip_parenthetical(norm_space(col)))
+
+
+# ------------------------------------------------------------- text analysis
+
+_STOPWORDS = (
+    "the,a,an,of,to,in,and,is,was,for,on,with,as,by,at,from,that,this,it,are,"
+    "be,or,his,her,their,its"
+)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Cheap n-gram/stopword language heuristic → 'en' | 'other'.
+
+    Counts how many of the top English function words appear; ≥2 hits → en.
+    A real deployment swaps in a fastText/cld3 pandas UDF — the column
+    contract (string in, label out) is identical.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    words = F.split(c, r"[^a-z]+")
+    stop_arr = F.split(F.lit(_STOPWORDS), ",")
+    hits = F.size(F.array_intersect(words, stop_arr))
+    return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length, alpha ratio,
+    punctuation ratio and stopword ratio — the standard pretraining-corpus
+    quality gates, as one pure-Column expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^!?.,;:]", "")).cast("double")
+    toks = token_count(c).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_penalty = F.when(n > 0, F.least(punct / n * 10.0, F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    tok_score = F.when(toks > 0, F.least(toks / F.lit(100.0), F.lit(1.0))).otherwise(
+        F.lit(0.0)
+    )
+    return F.round(
+        0.4 * len_score + 0.3 * alpha_ratio + 0.2 * tok_score + 0.1 * (1.0 - punct_penalty),
+        6,
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """64-bit content fingerprint of normalized text (whitespace-collapsed,
+    lowercased) — the exact-dedup key. xxhash64 is stable across runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    normed = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.xxhash64(normed)

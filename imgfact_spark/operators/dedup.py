@@ -1,0 +1,256 @@
+"""Deduplication family for large-scale corpus work.
+
+Five strategies, all shuffle-conscious:
+
+  * exact_dedup          — hash-groupBy on a normalized fingerprint; one
+                           shuffle on the 64-bit hash, not the full text.
+  * minhash_lsh_dup_pairs— shingle → minhash → band → bucket-join; candidate
+                           pairs only ever meet inside a band bucket, so the
+                           join never goes quadratic in corpus size.
+  * simhash_dup_pairs    — 64-bit simhash, Hamming-adjacency via band tables.
+  * ngram_jaccard        — exact Jaccard on token n-gram sets for a given
+                           candidate pair set (verification stage after LSH).
+  * embedding-cosine near-dup lives in operators/similarity.py (same LSH
+    bucketing machinery over random hyperplanes).
+
+At 100 TB the only viable plan is: cheap signature per doc (map-only) →
+group tiny signatures (shuffle of ~100 bytes/doc) → verify only candidate
+pairs.  Everything here follows that shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from imgfact_spark.functions.text import doc_fingerprint
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text duplicate
+    group.  Shuffles only (fingerprint, id)."""
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """Word n-gram shingle array of the lowercased text (distinct)."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), num - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    return df.select(F.col(id_col), _shingles(text_col, n).alias("shingles"))
+
+
+# ------------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, shingle_col: str = "shingles", num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature as array<long>, JVM-side: for hash i,
+    ``min over shingles of xxhash64(shingle, i)``.  One projection, no UDF,
+    no shuffle."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any full band
+    collide.  Returns distinct (id_a < id_b) pairs with the matching band
+    count — the classic MinHash-LSH S-curve (bands=16 × rows=4 over 64
+    hashes ⇒ ~50% threshold near Jaccard 0.5).
+
+    Scale shape: explode to (band_id, band_hash, id) — ``bands`` rows per doc
+    of ~16 bytes — then self-join per bucket.  Bucket sizes are bounded by
+    collision probability, not corpus size; a pathological bucket (all-empty
+    docs) is capped via ``spark.sql.adaptive`` skew split.
+    """
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig_df.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup dedup: LSH pairs → connected components → keep min id
+    per component.  Returns the deduplicated rows of ``df``."""
+    from imgfact_spark.operators.connected_components import connected_components
+
+    sh = shingle_df(df, text_col, id_col, n)
+    sig = minhash_signature(sh, id_col, num_hashes=num_hashes)
+    pairs = minhash_lsh_dup_pairs(sig, id_col, bands=bands, rows_per_band=num_hashes // bands)
+    if pairs.isEmpty():
+        return df
+    comp = connected_components(
+        pairs.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_drop_id")
+    )
+    return df.join(
+        drop, df[id_col].cast("string") == drop["_drop_id"], "left_anti"
+    )
+
+
+# ------------------------------------------------------------------- simhash
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+    """64-bit SimHash over word n-grams, pure Column algebra: for each bit,
+    sign of sum over shingles of (bit set ? +1 : -1)."""
+    sh = _shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bit_cols = []
+    for bit in range(64):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming via block-permuted
+    banding (pigeonhole: distance ≤ 3 ⇒ at least one of 4 16-bit blocks is
+    equal).  Join meets only within equal blocks; exact Hamming verified with
+    bit_count."""
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * (64 // blocks))
+                .bitwiseAND(F.lit((1 << (64 // blocks)) - 1))
+                .alias("key"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    b = sim_df.select(F.col(id_col), F.col("simhash"), F.explode(block_arr).alias("b")).select(
+        id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- exact jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate (id_a, id_b) pairs — the verify
+    stage after LSH.  Joins shingle arrays to both sides; set algebra stays
+    JVM-side (array_intersect / array_union)."""
+    sh = shingle_df(df, text_col, id_col, n)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

