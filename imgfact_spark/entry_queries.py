@@ -4,19 +4,20 @@ Each entry exercises one operator family from SURVEY.md §2 against the
 driver's parquet tables (region nation customer supplier part orders
 lineitem events documents embeddings).  Column names are aliased identically
 on both sides — the driver hash-compares values after sorting columns by
-name.
+name (lowercase aliases everywhere; floats rounded on BOTH sides; no
+timestamps in outputs; seeded "randomness" = md5 so both engines agree).
 
-Conventions:
-  * every callable: (spark, sf_dir) → DataFrame
-  * deterministic output (no F.rand without ORDER-stable oracle equivalent)
-  * floats rounded at the sink on BOTH sides to dodge fp drift.
+Spark callables route through the imgfact_spark operator library wherever
+one exists (topk_per_group, salted_count, oversample_balance, zip_join,
+brute-force cosine top-k, n-gram Jaccard) so the driver checks the real
+implementations, not ad-hoc reimplementations.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -35,3 +36,967 @@ def _register(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================================
+# S-class: scans / sources (SURVEY.md §2.1)
+# =========================================================================
+
+
+@_register(
+    "s2_manifest_explode",
+    """
+    SELECT l_orderkey, l_linenumber,
+           UNNEST(range(1, CAST(l_quantity AS INT) + 1)) AS img_no
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def s2_manifest_explode(spark, sf_dir):
+    """S2: crawl-manifest count → exploded per-image rows
+    (entity_based_image_filtering/dataloading.py:8-46)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(
+                F.sequence(F.lit(1), F.col("l_quantity").cast("int"))
+            ).alias("img_no"),
+        )
+    )
+
+
+@_register(
+    "s7_json_index_scan",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_id <= 1000
+    """,
+)
+def s7_json_index_scan(spark, sf_dir):
+    """S7: JSON index scan (imgfact_api/imgfact.py:30-40 analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") <= 1000).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# =========================================================================
+# P-class: projections / filters (SURVEY.md §2.2)
+# =========================================================================
+
+
+@_register(
+    "p2_malformed_filter",
+    r"""
+    SELECT doc_id FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 10
+    """,
+)
+def p2_malformed_filter(spark, sf_dir):
+    """P2: drop short/malformed rows by field count (filter_tuples.py:19-21)."""
+    from imgfact_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(token_count("text") >= 10).select("doc_id")
+
+
+@_register(
+    "p3_min_image_count",
+    """
+    SELECT o_custkey AS entity_id, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+    """,
+)
+def p3_min_image_count(spark, sf_dir):
+    """P3: min-evidence gate (entity_filtering/dataloading.py:21-22,
+    img_count >= 10) — entity=customer, images=orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("entity_id"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@_register(
+    "p5_score_threshold",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount AS score
+    FROM lineitem WHERE l_discount > 0.04
+    """,
+)
+def p5_score_threshold(spark, sf_dir):
+    """P5: score-threshold filter (ptuningfilter.py:16,40-45)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_discount") > 0.04).select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("score")
+    )
+
+
+@_register(
+    "p8_blacklist_filter",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def p8_blacklist_filter(spark, sf_dir):
+    """P8: relation blacklist (p_spo_setup.py:40-43, skip child/spouse)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@_register(
+    "p9_normalize_underscore",
+    """
+    SELECT c_custkey, replace(c_name, ' ', '_') AS name_underscore
+    FROM customer
+    """,
+)
+def p9_normalize_underscore(spark, sf_dir):
+    """P9: underscore/space normalization (filter_tuples.py:37)."""
+    from imgfact_spark.functions.text import norm_underscore
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", norm_underscore("c_name").alias("name_underscore"))
+
+
+@_register(
+    "p10_strip_parenthetical",
+    r"""
+    SELECT p_partkey,
+           trim(regexp_replace(p_name || ' (' || p_brand || ')', '\([^()]*\)', '', 'g')) AS cleaned
+    FROM part
+    """,
+)
+def p10_strip_parenthetical(spark, sf_dir):
+    """P10: del_bar parenthetical stripping (ptuning.py:88-106) — qualifier
+    synthesized from p_brand, stripped back off."""
+    from imgfact_spark.functions.text import strip_parenthetical
+
+    p = _t(spark, sf_dir, "part")
+    qualified = F.concat(F.col("p_name"), F.lit(" ("), F.col("p_brand"), F.lit(")"))
+    return p.select(
+        "p_partkey", F.trim(strip_parenthetical(qualified)).alias("cleaned")
+    )
+
+
+@_register(
+    "p13_template_fill",
+    """
+    SELECT s_suppkey, printf('%s works for %s.', s_name, n_name) AS sentence
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def p13_template_fill(spark, sf_dir):
+    """P13 + J6: template-fill via broadcast dimension join
+    (prepare_data.py:62-75)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            F.format_string("%s works for %s.", "s_name", "n_name").alias("sentence"),
+        )
+    )
+
+
+@_register(
+    "p14_train_vocab_semi",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def p14_train_vocab_semi(spark, sf_dir):
+    """P14: train-vocabulary semi filter (prepare_data.py:59-75)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return c.join(
+        F.broadcast(s.select(F.col("s_nationkey").alias("c_nationkey")).distinct()),
+        "c_nationkey",
+        "left_semi",
+    ).select("c_custkey")
+
+
+# =========================================================================
+# J-class: joins (SURVEY.md §2.3)
+# =========================================================================
+
+
+@_register(
+    "j1_double_semi_join",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 25)
+    """,
+)
+def j1_double_semi_join(spark, sf_dir):
+    """J1: double broadcast semi-join — triples ⋉ visual entities on BOTH
+    endpoints (filter_tuples.py:22-24)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(
+            F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@_register(
+    "j2_abstract_image_join",
+    """
+    SELECT c.c_custkey, c.c_name, cnt.n_orders
+    FROM customer c
+    JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) cnt
+      ON c.c_custkey = cnt.o_custkey
+    WHERE cnt.n_orders >= 10
+    """,
+)
+def j2_abstract_image_join(spark, sf_dir):
+    """J2+S3: abstracts ⨝ image manifest with evidence gate
+    (entity_filtering/dataloading.py:36-44, count filter 21-22)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cnt = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 10)
+    )
+    return c.join(cnt, "c_custkey").select("c_custkey", "c_name", "n_orders")
+
+
+@_register(
+    "j3_visual_ratio",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS vis_count,
+           COUNT(*) AS all_count,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS ratio
+    FROM orders GROUP BY o_orderpriority HAVING COUNT(*) >= 20
+    """,
+)
+def j3_visual_ratio(spark, sf_dir):
+    """J3+O2: visual/all ratio with total gate
+    (gen_visual_relations.py:16-31)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "vis_count"
+            ),
+            F.count("*").alias("all_count"),
+        )
+        .filter(F.col("all_count") >= 20)
+        .withColumn(
+            "ratio", F.round(F.col("vis_count") * 1.0 / F.col("all_count"), 4)
+        )
+    )
+
+
+@_register(
+    "j5_positional_zip_join",
+    """
+    WITH l AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+         r AS (SELECT vec_id, label, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos FROM embeddings)
+    SELECT l.pos, l.doc_id, r.vec_id, r.label
+    FROM l JOIN r ON l.pos = r.pos
+    """,
+)
+def j5_positional_zip_join(spark, sf_dir):
+    """J5: positional zip join — i-th row pairs with i-th row
+    (prepare_data.py:43-59 zip semantics) via imgfact_spark.operators.zip_join."""
+    from imgfact_spark.operators.zip_join import zip_join
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return zip_join(d, e, left_order=["doc_id"], right_order=["vec_id"]).select(
+        "pos", "doc_id", "vec_id", "label"
+    )
+
+
+@_register(
+    "j7_first_seen_label_ids",
+    """
+    SELECT c_mktsegment,
+           ROW_NUMBER() OVER (ORDER BY first_key) - 1 AS label_id
+    FROM (SELECT c_mktsegment, MIN(c_custkey) AS first_key
+          FROM customer GROUP BY c_mktsegment)
+    """,
+)
+def j7_first_seen_label_ids(spark, sf_dir):
+    """J7/A11: first-seen dense label-id assignment (prepare_data.py:27-39)
+    — deterministic row_number over first occurrence, no
+    monotonically_increasing_id."""
+    c = _t(spark, sf_dir, "customer")
+    firsts = c.groupBy("c_mktsegment").agg(F.min("c_custkey").alias("first_key"))
+    w = Window.orderBy("first_key")
+    return firsts.select(
+        "c_mktsegment", (F.row_number().over(w) - 1).alias("label_id")
+    )
+
+
+@_register(
+    "j8_theta_diff_partner",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             MIN(l_partkey) AS l_partkey,
+             MAX(l_extendedprice) AS l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 2000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT a.l_orderkey, a.l_linenumber,
+           (SELECT b.l_linenumber FROM base b
+            WHERE b.l_orderkey = a.l_orderkey
+              AND b.l_partkey <> a.l_partkey
+            ORDER BY b.l_extendedprice DESC, b.l_linenumber
+            LIMIT 1) AS partner_linenumber
+    FROM base a
+    """,
+)
+def j8_theta_diff_partner(spark, sf_dir):
+    """J8: per-key theta anti-match pairing — partner from the same group
+    whose attribute differs, best-score first, null when no mismatch exists
+    (app_s_prepare_data.py:42-50 get_diff_img semantics, made
+    deterministic).  (l_orderkey, l_linenumber) is non-unique in the driver
+    data, so rows are first collapsed to one per key."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_partkey").alias("l_partkey"),
+            F.max("l_extendedprice").alias("l_extendedprice"),
+        )
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        "left",
+    )
+    w = Window.partitionBy("a.l_orderkey", "a.l_linenumber").orderBy(
+        F.desc("b.l_extendedprice"), F.asc("b.l_linenumber")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("l_linenumber"),
+            F.col("b.l_linenumber").alias("partner_linenumber"),
+        )
+    )
+
+
+@_register(
+    "j11_round_robin_modulo",
+    """
+    SELECT o_orderkey,
+           CAST((ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1) % 3 AS INT) AS slot
+    FROM orders
+    """,
+)
+def j11_round_robin_modulo(spark, sf_dir):
+    """J11: round-robin modulo assignment — k-th occurrence gets slot
+    k mod n (image_naive_pkl.py:88-94)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.pmod(F.row_number().over(w) - 1, F.lit(3)).cast("int").alias("slot"),
+    )
+
+
+# =========================================================================
+# A-class: aggregations (SURVEY.md §2.4)
+# =========================================================================
+
+
+@_register(
+    "a1_relation_counts",
+    "SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type",
+)
+def a1_relation_counts(spark, sf_dir):
+    """A1: partial+final group-by count (gen_candidate_relations.py:26-44)
+    via the salted two-phase aggregation operator (skew guard)."""
+    from imgfact_spark.operators.salted import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev, keys=["event_type"], n_salts=8)
+
+
+@_register(
+    "a4_distinct_entity_union",
+    """
+    SELECT o_custkey AS entity_id FROM orders
+    UNION
+    SELECT c_custkey AS entity_id FROM customer
+    """,
+)
+def a4_distinct_entity_union(spark, sf_dir):
+    """A4: distinct entity set as union of subject+object columns
+    (imgfact_api/imgfact.py:49-62)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("entity_id"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("entity_id"))
+    return o.unionByName(c).distinct()
+
+
+@_register(
+    "a5_concat_key_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def a5_concat_key_dedup(spark, sf_dir):
+    """A5: row dedup via composite key (multimodal_naive.py:132-133) —
+    dropDuplicates, not string-concat hacks."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+@_register(
+    "a6_vector_mean_pool",
+    """
+    SELECT label, gs.i - 1 AS idx,
+           ROUND(AVG(embedding[gs.i]), 4) AS avg_val
+    FROM embeddings, generate_series(1, 64) gs(i)
+    GROUP BY label, gs.i
+    """,
+)
+def a6_vector_mean_pool(spark, sf_dir):
+    """A6: per-key element-wise mean pooling of vectors
+    (naive_prepare_data.py:133-139) — posexplode + avg (scales to any dim;
+    no UDAF needed)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg("val"), 4).alias("avg_val"))
+    )
+
+
+@_register(
+    "a7_class_counter_max",
+    """
+    SELECT event_type, COUNT(*) AS count,
+           (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type)) AS max_count
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_class_counter_max(spark, sf_dir):
+    """A7: class counts + global max (p_spo_setup.py:63-67)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("count"))
+    mx = counts.agg(F.max("count").alias("max_count"))
+    return counts.crossJoin(F.broadcast(mx))
+
+
+@_register(
+    "a8_oversample_balance",
+    """
+    WITH counts AS (SELECT p_brand, COUNT(*) AS cnt FROM part WHERE p_partkey <= 300 GROUP BY p_brand),
+         mx AS (SELECT MAX(cnt) AS max_cnt FROM counts)
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    JOIN counts c ON p.p_brand = c.p_brand
+    CROSS JOIN mx
+    CROSS JOIN (SELECT UNNEST(range(1, 10000)) AS rep) r
+    WHERE p.p_partkey <= 300 AND r.rep <= CAST(FLOOR(mx.max_cnt / c.cnt) AS INT)
+    """,
+)
+def a8_oversample_balance(spark, sf_dir):
+    """A8: oversample to balance classes — replicate each row
+    floor(max_count/count) times (p_spo_setup.py:84-89) via the
+    oversample_balance operator (explode(sequence))."""
+    from imgfact_spark.operators.balance import oversample_balance
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return oversample_balance(p, "p_brand").select("p_partkey", "p_brand")
+
+
+@_register(
+    "a9_ranking_metrics",
+    """
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+      FROM (SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS l_extendedprice
+            FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ),
+    label_rank AS (SELECT l_orderkey, rnk FROM ranked WHERE l_linenumber = 1)
+    SELECT ROUND(AVG(CASE WHEN rnk = 1 THEN 1.0 ELSE 0.0 END), 6) AS hit1,
+           ROUND(AVG(1.0 / rnk), 6) AS mrr,
+           ROUND(AVG(CAST(rnk AS DOUBLE)), 6) AS mr
+    FROM label_rank
+    """,
+)
+def a9_ranking_metrics(spark, sf_dir):
+    """A9+W3: hit@1 / MRR / MR over per-group ranking of the true label
+    (multimodal_naive.py:209-234)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    ranked = li.withColumn("rnk", F.row_number().over(w))
+    labels = ranked.filter(F.col("l_linenumber") == 1)
+    return labels.agg(
+        F.round(F.avg(F.when(F.col("rnk") == 1, 1.0).otherwise(0.0)), 6).alias("hit1"),
+        F.round(F.avg(1.0 / F.col("rnk")), 6).alias("mrr"),
+        F.round(F.avg(F.col("rnk").cast("double")), 6).alias("mr"),
+    )
+
+
+@_register(
+    "a12_filter_intersection",
+    """
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+    INTERSECT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def a12_filter_intersection(spark, sf_dir):
+    """A12: intersection of two filter outputs (README.md:107-112 —
+    entity-pair filter ∩ per-entity filter)."""
+    o = _t(spark, sf_dir, "orders")
+    f1 = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    f2 = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey"
+    )
+    return f1.intersect(f2)
+
+
+@_register(
+    "a13_union_shard_partials",
+    """
+    SELECT l_returnflag, COUNT(*) AS count FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber % 2 = 0
+      UNION ALL
+      SELECT l_returnflag FROM lineitem WHERE l_linenumber % 2 = 1
+    ) GROUP BY l_returnflag
+    """,
+)
+def a13_union_shard_partials(spark, sf_dir):
+    """A13: union of shard partials then aggregate (filter_tuples.py:41-46)."""
+    li = _t(spark, sf_dir, "lineitem")
+    even = li.filter(F.col("l_linenumber") % 2 == 0).select("l_returnflag")
+    odd = li.filter(F.col("l_linenumber") % 2 == 1).select("l_returnflag")
+    return even.unionByName(odd).groupBy("l_returnflag").agg(
+        F.count("*").alias("count")
+    )
+
+
+# =========================================================================
+# W-class: windows / ranking / top-k (SURVEY.md §2.5)
+# =========================================================================
+
+
+@_register(
+    "w1_topk_per_group",
+    """
+    SELECT l_orderkey, l_linenumber, rank FROM (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rank
+      FROM (SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS l_extendedprice
+            FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ) WHERE rank <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1: per-group sort desc + top-K (ptuningfilter.py:62-65) via the
+    topk_per_group operator."""
+    from imgfact_spark.operators.topk import topk_per_group
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    return topk_per_group(
+        li,
+        keys=["l_orderkey"],
+        order_by=[F.desc("l_extendedprice")],
+        k=3,
+        tiebreak=["l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "rank")
+
+
+@_register(
+    "w4_first_per_cluster",
+    """
+    SELECT event_id FROM (
+      SELECT event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w4_first_per_cluster(spark, sf_dir):
+    """W4: first-row-per-cluster dedup (cluster.py:110-117)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id")
+    )
+
+
+# =========================================================================
+# O-class: sorts / gates / seeded sampling (SURVEY.md §2.6)
+# =========================================================================
+
+
+@_register(
+    "o3_min_count_gate",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events
+    GROUP BY user_id HAVING COUNT(*) >= 15
+    """,
+)
+def o3_min_count_gate(spark, sf_dir):
+    """O3: relation min-count gate (gen_sample_tuples.py:4-11)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 15)
+    )
+
+
+@_register(
+    "o4_sample_per_group",
+    """
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 7
+    """,
+)
+def o4_sample_per_group(spark, sf_dir):
+    """O4+O5: seeded shuffle + per-group limit (gen_sample_tuples.py:15-27).
+    The 'random' order is an md5 of the row key — deterministic and identical
+    across engines, which is the whole point of seeded sampling here."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .select("event_type", "event_id")
+    )
+
+
+# =========================================================================
+# Scalar-function pack (SURVEY.md §2.8)
+# =========================================================================
+
+
+@_register(
+    "f_scalar_pack",
+    """
+    SELECT l_orderkey, l_linenumber,
+           lpad(CAST(l_linenumber AS VARCHAR), 3, '0') AS file_id,
+           concat_ws('/', l_returnflag, l_linestatus) AS path,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100) / 100 AS revenue,
+           CAST(CAST(l_quantity AS INT) % 7 AS INT) AS qmod,
+           trim(l_returnflag) AS flag
+    FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def f_scalar_pack(spark, sf_dir):
+    """§2.8 scalar functions: lpad/zfill (CPgen.py:428), concat_ws path
+    join, round-at-sink (ptuningfilter.py:77), modulo counter
+    (image_naive_pkl.py:94), trim."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lpad(F.col("l_linenumber").cast("string"), 3, "0").alias("file_id"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("path"),
+        (
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) / 100
+        ).alias("revenue"),
+        F.pmod(F.col("l_quantity").cast("int"), F.lit(7)).cast("int").alias("qmod"),
+        F.trim("l_returnflag").alias("flag"),
+    )
+
+
+# =========================================================================
+# Text analysis (driver-mandated training-data ops over `documents`)
+# =========================================================================
+
+
+@_register(
+    "t_token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def t_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer) over the corpus."""
+    from imgfact_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@_register(
+    "t_lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN len(list_distinct(list_intersect(
+                    string_split_regex(lower(text), '[^a-z]+'),
+                    ['the','a','an','of','to','in','and','is','was','for','on','with','as','by','at','from','that','this','it','are','be','or','his','her','their','its']
+                ))) >= 2
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def t_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword n-gram hits)."""
+    from imgfact_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+@_register(
+    "t_quality_score",
+    r"""
+    SELECT doc_id,
+           FLOOR((
+             0.4 * LEAST(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0.0 END)
+           + 0.2 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+           + 0.1 * (1.0 - CASE WHEN length(text) > 0
+                    THEN LEAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / length(text), 1.0)
+                    ELSE 0.0 END)
+           ) * 10000) / 10000 AS q
+    FROM documents
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Quality scoring: length/alpha/token/punctuation blend (floor-scaled
+    to dodge cross-engine round-midpoint divergence)."""
+    from imgfact_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    # raw (unrounded) score floored at 4 dp: floor of the same IEEE754
+    # arithmetic is bit-identical across engines, round() is not
+    return d.select(
+        "doc_id",
+        (F.floor(quality_score("text", round_to=None) * 10000) / 10000).alias("q"),
+    )
+
+
+@_register(
+    "t_exact_dedup_groups",
+    r"""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    """,
+)
+def t_exact_dedup_groups(spark, sf_dir):
+    """Exact dedup by normalized text: representative (min id) + group size.
+    Hash-free formulation so both engines agree exactly; the production
+    operator (operators/dedup.exact_dedup) shuffles a 64-bit fingerprint
+    instead of full text — same semantics."""
+    d = _t(spark, sf_dir, "documents")
+    normed = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.groupBy(normed.alias("_norm"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .drop("_norm")
+        .select("doc_id", "n_copies")
+    )
+
+
+@_register(
+    "d_ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 80
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           FLOOR(len(list_intersect(a.toks, b.toks)) * 1000000.0
+                 / len(list_distinct(a.toks || b.toks))) / 1000000 AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+          / len(list_distinct(a.toks || b.toks)) >= 0.62
+    """,
+)
+def d_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram (n=1 token) Jaccard near-dup pairs, exact, over a small slice
+    — the verify stage of LSH dedup (operators/dedup.ngram_jaccard_pairs
+    machinery with an all-pairs candidate set)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = F.array_distinct(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    sh = d.select(F.col("doc_id"), toks.alias("toks"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.withColumn("_j", jac)
+        .filter(F.col("_j") >= 0.62)
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("_j") * 1000000.0) / 1000000).alias("jaccard"),
+        )
+    )
+
+
+@_register("d_minhash_lsh_pairs")  # rows-only: xxhash64 minhash not in DuckDB
+def d_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate near-dup pairs (shingle→minhash→band→bucket
+    join).  Non-SQL-expressible (engine-specific hash); driver records a
+    rows-only check; exactness is covered by tests/test_dedup.py."""
+    from imgfact_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_signature,
+        shingle_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingle_df(d, "text", "doc_id", n=1)
+    sig = minhash_signature(sh, "doc_id", num_hashes=32)
+    return minhash_lsh_dup_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+
+
+@_register("d_simhash_pairs")  # rows-only: engine-specific 64-bit hashing
+def d_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (block-permuted Hamming banding)."""
+    from imgfact_spark.operators.dedup import simhash64, simhash_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sim = simhash64(d, "text", "doc_id", n=1)
+    return simhash_dup_pairs(sim, "doc_id", max_hamming=16, blocks=4)
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+
+@_register(
+    "s_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  FLOOR(
+                    (list_dot_product(c.cv, q.qv)
+                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))))
+                    * 10000) / 10000 AS cosine
+           FROM c CROSS JOIN q
+         )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def s_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (baseline/verification
+    path) via operators/similarity.brute_force_topk."""
+    from imgfact_spark.functions.vectors import cosine_sim
+    from imgfact_spark.operators.topk import topk_per_group
+
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", dbl.alias("cv"))
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), dbl.alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .withColumn(
+            "cosine", F.floor(cosine_sim("cv", "qv") * 10000) / 10000
+        )
+        .drop("cv", "qv")
+    )
+    return topk_per_group(
+        scored, keys=["query_id"], order_by=[F.desc("cosine")], k=5,
+        tiebreak=["vec_id"],
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@_register("s_lsh_topk")  # rows-only: hyperplane signatures engine-side
+def s_lsh_topk(spark, sf_dir):
+    """Approximate ANN top-k via random-hyperplane LSH bucketing — the
+    100 TB-scale path; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from imgfact_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, dim=64, k=5, n_planes=8, n_tables=4)
+
+
+@_register("kg_construct_e2e")  # rows-only: full pipeline on synth docs
+def kg_construct_e2e(spark, sf_dir):
+    """Flagship: full KG construction on a 150-doc synthesized interleaved
+    corpus (the BASELINE.json input shape).  Correctness vs the independent
+    pandas oracle is asserted in tests/test_pipeline_e2e.py."""
+    import tempfile
+
+    from imgfact_spark import synth
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    docs = synth.synth_documents(spark, 150)
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+    store = TableStore(tempfile.mkdtemp(prefix="imgfact_q_"))
+    res = run_pipeline(spark, docs, r2d, ents, store, PipelineConfig())
+    return res.kg_triples.select("s", "p", "o", "n_docs", "subset")

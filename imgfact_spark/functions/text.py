@@ -84,7 +84,7 @@ def lang_id(col: Column | str) -> Column:
     return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("other"))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, round_to: int | None = 6) -> Column:
     """Heuristic document quality in [0,1]: blend of length, alpha ratio,
     punctuation ratio and stopword ratio — the standard pretraining-corpus
     quality gates, as one pure-Column expression.
@@ -102,10 +102,13 @@ def quality_score(col: Column | str) -> Column:
     tok_score = F.when(toks > 0, F.least(toks / F.lit(100.0), F.lit(1.0))).otherwise(
         F.lit(0.0)
     )
-    return F.round(
-        0.4 * len_score + 0.3 * alpha_ratio + 0.2 * tok_score + 0.1 * (1.0 - punct_penalty),
-        6,
+    raw = (
+        0.4 * len_score
+        + 0.3 * alpha_ratio
+        + 0.2 * tok_score
+        + 0.1 * (1.0 - punct_penalty)
     )
+    return F.round(raw, round_to) if round_to is not None else raw
 
 
 def doc_fingerprint(col: Column | str) -> Column:
