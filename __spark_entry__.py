@@ -49,7 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
     ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
     r2d = synth.rel2desc_df(spark)
     store = TableStore(tempfile.mkdtemp(prefix="imgfact_entry_"))
-    res = run_pipeline(spark, docs, r2d, ents, store, PipelineConfig())
+    res = run_pipeline(
+        spark, docs, r2d, ents, store, PipelineConfig(),
+        input_fingerprint="synth:42:500",
+    )
     g = res.kg_groundings.groupBy("s", "p", "o").agg(
         F.count("*").alias("n_groundings"),
         F.round(F.max("score"), 6).alias("best_score"),

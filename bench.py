@@ -1,0 +1,198 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Each section runs ``SPARK_GRAFT_BENCH_REPS`` times (default 2) and reports
+the MIN — the host VM shows heavy noisy-neighbor variance (4× wall-clock
+swings on identical plans), and min-of-N is the standard estimator for the
+machine-limited cost under external noise.
+
+Queries:
+  * kg_construct   — full KG-construction pipeline over a pre-materialized
+                     synthesized interleaved-doc table (the north-rule input
+                     shape); throughput reported as docs/sec and triples/sec.
+  * topk_window    — per-group top-K over lineitem (W1).
+  * salted_agg     — salted two-phase count over lineitem part keys.
+  * minhash_dedup  — MinHash signatures + LSH banding over documents.
+  * cosine_topk    — brute-force cosine top-10, 50 queries × corpus.
+  * lsh_topk       — LSH-bucketed ANN for the same queries.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS,
+     SPARK_GRAFT_BENCH_REPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    from pyspark.sql import functions as F
+
+    from imgfact_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="imgfact_bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        },
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def bench_section(name: str, fn) -> None:
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # ---------------------------------------------------------- kg pipeline
+    from imgfact_spark import synth
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="imgfact_bench_")
+    try:
+        # input synthesis is test scaffolding, not the measured job: the
+        # north-rule workload is construction over an EXISTING doc table,
+        # so materialize the corpus once (untimed) and time the pipeline.
+        fp = f"synth:42:{n_docs}"
+        input_store = TableStore(os.path.join(tmp, "input"))
+        docs_stable = input_store.write(
+            synth.synth_documents(spark, n_docs, partitions=cpus * 2),
+            "documents",
+            input_fingerprint=fp,
+        )
+        kb = synth.kb_df(spark)
+        ents = (
+            kb.selectExpr("s as entity")
+            .union(kb.selectExpr("o as entity"))
+            .distinct()
+        )
+        r2d = synth.rel2desc_df(spark)
+        run_no = [0]
+
+        def kg_run():
+            run_no[0] += 1
+            store = TableStore(os.path.join(tmp, f"run{run_no[0]}"))
+            res = run_pipeline(
+                spark, docs_stable, r2d, ents, store,
+                PipelineConfig(
+                    min_evidence=1, use_lsh_aliases=False, checkpoint="final"
+                ),
+                input_fingerprint=fp,
+                materialize_input=False,
+            )
+            extras["kg_triples"] = res.kg_triples.count()
+
+        bench_section("kg_construct", kg_run)
+        extras["kg_docs_per_sec"] = round(n_docs / timings["kg_construct"], 1)
+        extras["kg_triples_per_sec"] = round(
+            extras["kg_triples"] / timings["kg_construct"], 1
+        )
+
+        # ------------------------------------------------------- relational
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+        def topk_run():
+            from imgfact_spark.operators.topk import topk_per_group
+
+            topk_per_group(
+                li,
+                keys=["l_orderkey"],
+                order_by=[F.desc("l_extendedprice")],
+                k=3,
+                tiebreak=["l_linenumber"],
+            ).count()
+
+        bench_section("topk_window", topk_run)
+
+        def salted_run():
+            from imgfact_spark.operators.salted import salted_count
+
+            salted_count(
+                li.select("l_partkey", "l_orderkey"), keys=["l_partkey"], n_salts=16
+            ).count()
+
+        bench_section("salted_agg", salted_run)
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def minhash_run():
+            from imgfact_spark.operators.dedup import (
+                minhash_lsh_dup_pairs,
+                minhash_signature,
+                shingle_df,
+            )
+
+            sh = shingle_df(d, "text", "doc_id", n=3)
+            sig = minhash_signature(sh, "doc_id", num_hashes=64)
+            pairs = minhash_lsh_dup_pairs(sig, "doc_id", bands=16, rows_per_band=4)
+            extras["minhash_pairs"] = pairs.count()
+
+        bench_section("minhash_dedup", minhash_run)
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+        def cosine_run():
+            from imgfact_spark.operators.similarity import brute_force_topk
+
+            brute_force_topk(e, q, k=10).count()
+
+        bench_section("cosine_topk", cosine_run)
+
+        def lsh_run():
+            from imgfact_spark.operators.similarity import lsh_topk
+
+            lsh_topk(e, q, dim=64, k=10, n_planes=10, n_tables=4).count()
+
+        bench_section("lsh_topk", lsh_run)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "imgfact_spark headline suite (KG construct + operators)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "reps": reps,
+                "throughput": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.stderr.write("bench: starting\n")
+    main()

@@ -998,5 +998,8 @@ def kg_construct_e2e(spark, sf_dir):
     ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
     r2d = synth.rel2desc_df(spark)
     store = TableStore(tempfile.mkdtemp(prefix="imgfact_q_"))
-    res = run_pipeline(spark, docs, r2d, ents, store, PipelineConfig())
+    res = run_pipeline(
+        spark, docs, r2d, ents, store, PipelineConfig(),
+        input_fingerprint="synth:42:150",
+    )
     return res.kg_triples.select("s", "p", "o", "n_docs", "subset")

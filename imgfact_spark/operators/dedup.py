@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from imgfact_spark.functions.text import doc_fingerprint
+from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
 # --------------------------------------------------------------------- exact
 
@@ -50,7 +51,9 @@ def _shingles(text_col: str, n: int) -> Column:
 
 
 def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    return df.select(F.col(id_col), _shingles(text_col, n).alias("shingles"))
+    return ensure_parallelism(df).select(
+        F.col(id_col), _shingles(text_col, n).alias("shingles")
+    )
 
 
 # ------------------------------------------------------------------- minhash
@@ -59,18 +62,24 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
 def minhash_signature(
     df: DataFrame, id_col: str, shingle_col: str = "shingles", num_hashes: int = 64
 ) -> DataFrame:
-    """MinHash signature as array<long>, JVM-side: for hash i,
-    ``min over shingles of xxhash64(shingle, i)``.  One projection, no UDF,
-    no shuffle."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col(shingle_col), lambda s: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    """MinHash signature as array<long>: for hash i,
+    ``min over shingles of xxhash64(shingle, i)``.
+
+    Shape: explode shingles → hash-aggregate ``num_hashes`` mins per id.
+    Catalyst's partial aggregation computes the mins map-side, so the
+    shuffle carries only ``num_hashes`` longs per (id, input-partition) —
+    NOT the shingles.  (The no-shuffle alternative — num_hashes nested
+    array-transform expressions per row — blows up whole-stage codegen and
+    is ~10× slower in practice.)"""
+    ex = df.select(F.col(id_col), F.explode_outer(shingle_col).alias("_sh"))
+    aggs = [
+        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    return g.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_dup_pairs(
@@ -109,6 +118,9 @@ def minhash_lsh_dup_pairs(
     buckets = sig_df.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    # materialize once: both self-join sides reuse it instead of recomputing
+    # the whole shingle→minhash chain per side
+    buckets = snapshot(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -161,27 +173,30 @@ def minhash_dedup(
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
-    """64-bit SimHash over word n-grams, pure Column algebra: for each bit,
-    sign of sum over shingles of (bit set ? +1 : -1)."""
-    sh = _shingles(text_col, n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bit_cols = []
-    for bit in range(64):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    """64-bit SimHash over word n-grams: bit b of the result is the sign of
+    ``sum over shingles of (hash bit b ? +1 : -1)``.
+
+    Same explode → partial-agg shape as minhash_signature: 64 conditional
+    sums per id computed map-side, then one projection folds the signs into
+    a single long."""
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode_outer(_shingles(text_col, n)).alias("_sh")
+    ).select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"_b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         )
-        bit_cols.append(
-            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return g.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -205,6 +220,7 @@ def simhash_dup_pairs(
     b = sim_df.select(F.col(id_col), F.col("simhash"), F.explode(block_arr).alias("b")).select(
         id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
     )
+    b = snapshot(b)
     l, r = b.alias("l"), b.alias("r")
     pairs = (
         l.join(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from imgfact_spark.functions.vectors import cosine_sim
 from imgfact_spark.operators.topk import topk_per_group
+from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
 
 def brute_force_topk(
@@ -41,7 +42,7 @@ def brute_force_topk(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
     scored = (
-        corpus.select(id_col, vec_col)
+        ensure_parallelism(corpus.select(id_col, vec_col))
         .join(F.broadcast(q))
         .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
         .drop("_qvec", vec_col)
@@ -62,29 +63,58 @@ def hyperplane_signature(
     n_planes: int = 16,
     seed: int = 42,
     out_col: str = "lsh_sig",
+    method: str = "auto",
 ) -> DataFrame:
     """Random-hyperplane (SRP) signature: bit i = sign(v · h_i).
 
-    Hyperplanes are a deterministic seeded numpy matrix shipped as literal
-    arrays (tiny: n_planes × dim floats) — evaluated JVM-side per row via
-    zip_with/aggregate, no UDF, no shuffle.
+    Hyperplanes are a deterministic seeded numpy matrix.  Two execution
+    paths with identical results:
+
+      * ``column`` — JVM-side zip_with/aggregate per plane.  No Python, no
+        shuffle; fine for a handful of planes × small dim, but codegen cost
+        grows as n_planes·dim expressions per row.
+      * ``pandas`` — one Arrow-batched pandas UDF doing a single numpy
+        ``(batch, dim) @ (dim, n_planes)`` matmul per batch — the vectorized
+        model-kernel shape (BLAS, zero per-row Python).  Wins from a few
+        hundred multiply-adds per row up.
+
+    ``auto`` picks pandas when n_planes*dim ≥ 512.
     """
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_planes, dim)).astype("float64")
-    sig = F.lit(0).cast("long")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+    if method == "auto":
+        method = "pandas" if n_planes * dim >= 512 else "column"
+
+    if method == "column":
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-        )
-    return df.withColumn(out_col, sig)
+            sig = sig.bitwiseOR(
+                F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return df.withColumn(out_col, sig)
+
+    planes_t = planes.T  # (dim, n_planes)
+
+    @F.pandas_udf("long")
+    def sig_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(v.to_numpy())  # (batch, dim) float
+        bits = mat.astype("float64") @ planes_t > 0  # (batch, n_planes)
+        out = np.zeros(len(v), dtype=np.int64)
+        for i in range(bits.shape[1]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sig_udf(F.col(vec_col)))
 
 
 def lsh_topk(
@@ -102,7 +132,7 @@ def lsh_topk(
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
     on candidates only."""
-    c = corpus.select(id_col, vec_col)
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cand = None
     for t in range(n_tables):
@@ -136,10 +166,10 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket self-join per LSH table →
     distinct candidate pairs → exact cosine ≥ threshold."""
-    c = corpus.select(id_col, vec_col)
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
     cand = None
     for t in range(n_tables):
-        sig = hyperplane_signature(c, vec_col, dim, n_planes, seed + t, "_sig")
+        sig = snapshot(hyperplane_signature(c, vec_col, dim, n_planes, seed + t, "_sig"))
         l = sig.select(F.col(id_col).alias("id_a"), F.col("_sig"))
         r = sig.select(F.col(id_col).alias("id_b"), F.col("_sig"))
         hits = l.join(r, "_sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")

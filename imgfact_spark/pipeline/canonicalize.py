@@ -87,13 +87,19 @@ def alias_map(entities: DataFrame, with_lsh: bool = True) -> DataFrame:
     Normalization edges (surface → canonical_entity form) always apply;
     LSH near-dup edges optionally extend the components.
     """
+    if not with_lsh:
+        # pure-normalization aliasing is a star graph around the canonical
+        # form — the component representative IS canonical_entity(entity);
+        # no iteration needed (the CC loop would converge to the same map
+        # after paying shuffles for nothing).
+        return entities.select(
+            "entity", canonical_entity("entity").alias("canonical")
+        )
     norm_edges = entities.select(
         F.col("entity").alias("src"),
         canonical_entity("entity").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    edges = norm_edges
-    if with_lsh:
-        edges = edges.unionByName(char_shingle_edges(entities))
+    edges = norm_edges.unionByName(char_shingle_edges(entities))
     comp = connected_components(edges)
     # entities with no edges are their own representative
     return (

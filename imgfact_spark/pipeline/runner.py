@@ -1,6 +1,6 @@
 """End-to-end KG-construction pipeline: documents → kg_triples + kg_groundings.
 
-Stage DAG (each stage a checkpointed table, resumable; SURVEY.md §3.1):
+Stage DAG (SURVEY.md §3.1):
 
     documents
       └─ spans            (ingest.explode_spans)
@@ -13,8 +13,15 @@ Stage DAG (each stage a checkpointed table, resumable; SURVEY.md §3.1):
                               └─ groundings scored+filtered+topK (M2/M3/W1)
                                    └─ canonicalized kg_triples / kg_groundings
 
-Resume semantics = reference's skip-finished-chunks (inference.py:139-143):
-re-running with the same input fingerprint skips committed stages.
+Checkpointing is a granularity knob (``PipelineConfig.checkpoint``):
+  * ``"all"``   — every stage is a committed table; a killed job resumes
+                  from the last finished stage (reference semantics:
+                  skip-finished-chunks, inference.py:139-143).
+  * ``"final"`` — only kg_triples / kg_groundings are materialized; the
+                  intermediate DAG stays one fused Catalyst plan (shared
+                  fan-out points are persisted in memory+disk and released
+                  at the end).  Maximum throughput when resume granularity
+                  isn't needed.
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ class PipelineConfig:
     relation_min_count: int = 0   # reference: 50 (gen_sample_tuples.py:9)
     use_lsh_aliases: bool = False  # char-LSH alias edges (slow on tiny data)
     n_subset_partitions: int = 30
+    checkpoint: str = "all"       # "all" | "final"
 
 
 @dataclass
@@ -49,6 +57,9 @@ class PipelineResult:
     stages: dict[str, DataFrame] = field(default_factory=dict)
 
 
+_FINAL_STAGES = {"kg_triples", "kg_groundings"}
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -56,55 +67,64 @@ def run_pipeline(
     kb_entities: DataFrame,
     store: TableStore,
     cfg: PipelineConfig | None = None,
+    input_fingerprint: str | None = None,
+    materialize_input: bool = True,
 ) -> PipelineResult:
-    cfg = cfg or PipelineConfig()
-    fp = fingerprint_df(documents.select("doc_id"))
+    """``input_fingerprint``: identity of the input for resume detection.
+    Pass metadata when it is known without a scan (Iceberg snapshot id in
+    production; synth params for generated corpora) — otherwise one content
+    hash pass over the source is performed.
 
-    spans = stage(
-        store, "spans", fp, lambda: ingest.explode_spans(documents), spark
+    ``materialize_input``: checkpoint the source once so a lazily-computed
+    input (e.g. the synth generator) is not re-executed by every stage that
+    scans it.  Disable when the input is already a stable table scan.
+    """
+    cfg = cfg or PipelineConfig()
+    fp = input_fingerprint or fingerprint_df(documents.select("doc_id"))
+    persisted: list[DataFrame] = []
+
+    def _stage(name, compute, partition_by=None, shared=False):
+        if cfg.checkpoint == "all" or name in _FINAL_STAGES:
+            return stage(store, name, fp, compute, spark, partition_by=partition_by)
+        df = compute()
+        if shared:
+            df = df.persist()
+            persisted.append(df)
+        return df
+
+    if materialize_input:
+        documents_stable = stage(store, "documents", fp, lambda: documents, spark)
+    else:
+        documents_stable = documents
+
+    spans = _stage(
+        "spans", lambda: ingest.explode_spans(documents_stable), shared=True
     )
-    media = stage(store, "media", fp, lambda: ingest.media_spans(spans), spark)
-    mentions = stage(
-        store,
-        "mentions",
-        fp,
-        lambda: extract.detect_mentions(spans, rel2desc),
-        spark,
+    media = _stage("media", lambda: ingest.media_spans(spans), shared=True)
+    mentions = _stage("mentions", lambda: extract.detect_mentions(spans, rel2desc))
+    candidates = _stage(
+        "candidates", lambda: extract.link_entities(mentions, kb_entities),
+        shared=True,
     )
-    candidates = stage(
-        store,
-        "candidates",
-        fp,
-        lambda: extract.link_entities(mentions, kb_entities),
-        spark,
-    )
-    visual = stage(
-        store,
+    visual = _stage(
         "visual_entities",
-        fp,
         lambda: entity_filter.visual_entities(
             media, cfg.min_evidence, cfg.vcc_threshold
         ),
-        spark,
     )
-    vis_cand = stage(
-        store,
+    vis_cand = _stage(
         "visual_candidates",
-        fp,
         lambda: entity_filter.filter_visual_triples(candidates, visual),
-        spark,
     )
 
     def _whitelisted():
         ratio = relation_filter.visual_relation_ratio(
             vis_cand, candidates, min_total=cfg.relation_min_total
         )
-        wl = relation_filter.select_relations(
-            ratio, min_count=cfg.relation_min_count
-        )
+        wl = relation_filter.select_relations(ratio, min_count=cfg.relation_min_count)
         return relation_filter.apply_relation_whitelist(vis_cand, wl)
 
-    wl_cand = stage(store, "whitelisted_candidates", fp, _whitelisted, spark)
+    wl_cand = _stage("whitelisted_candidates", _whitelisted, shared=True)
 
     def _groundings():
         gc = grounding.grounding_candidates(wl_cand, media)
@@ -114,13 +134,13 @@ def run_pipeline(
         )
         return grounding.topk_groundings(filtered, cfg.topk)
 
-    grounded = stage(store, "groundings", fp, _groundings, spark)
+    grounded = _stage("groundings", _groundings)
 
     def _aliases():
         ents = canon.observed_entities(wl_cand)
         return canon.alias_map(ents, with_lsh=cfg.use_lsh_aliases)
 
-    aliases = stage(store, "aliases", fp, _aliases, spark)
+    aliases = _stage("aliases", _aliases, shared=True)
 
     def _kg_triples():
         rewritten = canon.rewrite_triples(
@@ -128,9 +148,7 @@ def run_pipeline(
         )
         return (
             rewritten.groupBy("s", "p", "o")
-            .agg(
-                F.countDistinct("doc_id").alias("n_docs"),
-            )
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
             .withColumn(
                 "subset",
                 F.format_string(
@@ -141,9 +159,7 @@ def run_pipeline(
             )
         )
 
-    kg_triples = stage(
-        store, "kg_triples", fp, _kg_triples, spark, partition_by=["subset"]
-    )
+    kg_triples = _stage("kg_triples", _kg_triples, partition_by=["subset"])
 
     def _kg_groundings():
         rewritten = canon.rewrite_triples(grounded, aliases)
@@ -151,9 +167,10 @@ def run_pipeline(
             "s", "p", "o", "media_ref", "doc_id", "score", "rank", "subset"
         )
 
-    kg_groundings = stage(
-        store, "kg_groundings", fp, _kg_groundings, spark, partition_by=["subset"]
-    )
+    kg_groundings = _stage("kg_groundings", _kg_groundings, partition_by=["subset"])
+
+    for df in persisted:
+        df.unpersist()
 
     return PipelineResult(
         kg_triples=kg_triples,
