@@ -1003,3 +1003,158 @@ def kg_construct_e2e(spark, sf_dir):
         input_fingerprint="synth:42:150",
     )
     return res.kg_triples.select("s", "p", "o", "n_docs", "subset")
+
+
+# =========================================================================
+# Read API (§3.2), streaming-equivalent windows, multimodal, clustering
+# =========================================================================
+
+
+@_register(
+    "api_retrieve_by_relation",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS s, event_type AS p,
+           CAST(user_id % 100 AS VARCHAR) AS o,
+           CAST(event_id AS VARCHAR) AS media_ref
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def api_retrieve_by_relation(spark, sf_dir):
+    """ImgFactDataset.retrieve_img_from_relation (imgfact.py:84-97) over a
+    groundings view derived from events."""
+    from imgfact_spark.api import ImgFactDataset
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.col("user_id").cast("string").alias("s"),
+        F.col("event_type").alias("p"),
+        (F.col("user_id") % 100).cast("string").alias("o"),
+        F.col("event_id").cast("string").alias("media_ref"),
+    )
+    return ImgFactDataset(g).retrieve_img_from_relation("click")
+
+
+@_register(
+    "api_entity_vocab",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS entity FROM events
+    UNION
+    SELECT CAST(user_id % 100 AS VARCHAR) AS entity FROM events
+    """,
+)
+def api_entity_vocab(spark, sf_dir):
+    """ImgFactDataset.load_entities (imgfact.py:49-55)."""
+    from imgfact_spark.api import ImgFactDataset
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.col("user_id").cast("string").alias("s"),
+        F.col("event_type").alias("p"),
+        (F.col("user_id") % 100).cast("string").alias("o"),
+        F.col("event_id").cast("string").alias("media_ref"),
+    )
+    return ImgFactDataset(g).load_entities()
+
+
+@_register(
+    "st_windowed_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_windowed_event_counts(spark, sf_dir):
+    """Tumbling-window aggregation (streaming.windowed_event_counts) — the
+    batch-parity form of the watermarked streaming agg."""
+    from imgfact_spark.streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@_register(
+    "mm_frame_sample",
+    """
+    SELECT media_ref, frame_no FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+             UNNEST(range(0, CAST(1 + n_chars % 7 AS INT))) AS frame_no
+      FROM documents
+    ) WHERE frame_no % 2 = 0
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling (multimodal.sample_frames) — explode frame
+    indexes, keep every n-th; frame counts derived from the documents table."""
+    from imgfact_spark.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            (1 + F.col("n_chars") % 7).cast("int").alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_n=2).select("media_ref", "frame_no")
+
+
+@_register("mm_extract_features")  # rows-only: stubbed decoder is engine-side
+def mm_extract_features(spark, sf_dir):
+    """Multimodal binary decode + feature extraction (stub decoder, real
+    Arrow/mapInPandas plumbing)."""
+    from imgfact_spark.multimodal import extract_features, synth_media
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    refs = d.select(F.col("doc_id").cast("string").alias("media_ref"))
+    media = synth_media(spark, refs)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_ref", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum")
+    )
+
+
+@_register("m6_cluster_representatives")  # rows-only: density clustering
+def m6_cluster_representatives(spark, sf_dir):
+    """Per-group DBSCAN representative selection (cluster.py:84-129) via
+    applyInPandas over embedding groups."""
+    from imgfact_spark.operators.clustering import cluster_representatives
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    g = e.select(
+        F.lit("E").alias("s"),
+        F.concat(F.lit("label_"), F.col("label").cast("string")).alias("p"),
+        F.lit("corpus").alias("o"),
+        F.col("vec_id").cast("string").alias("media_ref"),
+        (F.col("vec_id") % 100 / 100.0).alias("score"),
+    )
+    f = e.select(
+        F.col("vec_id").cast("string").alias("media_ref"),
+        F.col("embedding").alias("features"),
+    )
+    return cluster_representatives(g, f, eps=0.35)
+
+
+@_register("j9_messy_swap")  # rows-only: window-lead pairing engine-side
+def j9_messy_swap(spark, sf_dir):
+    """J9: cluster-aware deterministic image swap
+    (messy_prepare_data.py:54-73)."""
+    from imgfact_spark.operators.messy_swap import messy_swap
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    df = ev.select(
+        F.col("event_id").cast("string").alias("img_path"),
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("cluster_id"),
+        "event_id",
+    )
+    return messy_swap(df)

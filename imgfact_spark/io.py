@@ -67,6 +67,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         input_fingerprint: str | None = None,
         mode: str = "overwrite",
+        stats: bool = True,
     ) -> DataFrame:
         """Write a stage table + commit marker with per-partition row counts.
 
@@ -88,7 +89,9 @@ class TableStore:
 
         spark = df.sparkSession
         written = spark.read.parquet(target)
-        if partition_by:
+        if not stats:
+            total, partitions = -1, []
+        elif partition_by:
             part_counts = (
                 written.groupBy(*partition_by)
                 .count()
@@ -153,6 +156,7 @@ def stage(
     compute,
     spark: SparkSession,
     partition_by: list[str] | None = None,
+    stats: bool = True,
 ) -> DataFrame:
     """Checkpoint-or-compute a pipeline stage.
 
@@ -162,7 +166,10 @@ def stage(
     if store.is_committed(name, input_fingerprint):
         return store.read(spark, name)
     df = compute()
-    return store.write(df, name, partition_by=partition_by, input_fingerprint=input_fingerprint)
+    return store.write(
+        df, name, partition_by=partition_by, input_fingerprint=input_fingerprint,
+        stats=stats,
+    )
 
 
 def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:

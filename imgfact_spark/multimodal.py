@@ -1,0 +1,144 @@
+"""Multimodal binary-column plumbing: decode / feature-extract / resize /
+frame-sample over opaque ``binary`` media payloads.
+
+The Spark-side architecture is real and tested — schema contract,
+Arrow-batched mapInPandas kernels, partition sizing — while the actual
+codec calls are STUBBED behind deterministic fakes (this container ships no
+image/audio libraries).  Swapping a stub for Pillow/ffmpeg changes ONE
+function body; every signature, schema and batch shape stays fixed.
+
+Schema contract:
+    media(media_ref string, kind string, payload binary,
+          meta struct<width:int, height:int, n_frames:int, sample_rate:int>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def synth_media(spark, refs: DataFrame, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table for the given media_ref rows: payload
+    = repeatable bytes derived from the ref hash (stands in for real image
+    bytes; sized small on purpose)."""
+    return refs.select(
+        "media_ref",
+        F.lit("image").alias("kind"),
+        F.expr(
+            f"repeat(unhex(lpad(hex(abs(xxhash64(media_ref))), 16, '0')), {payload_bytes // 8})"
+        ).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(224).alias("width"),
+            F.lit(224).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _stub_decode(payload: bytes) -> np.ndarray:
+    """STUB decode: real impl = PIL.Image.open(io.BytesIO(payload)).
+
+    Deterministic fake: tile the payload bytes into an 8×8×3 'image'.
+    Raises on None payload like a real decoder would on corrupt bytes.
+    """
+    if payload is None:
+        raise ValueError("corrupt media payload")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = 8 * 8 * 3
+    arr = np.resize(arr, need)
+    return arr.reshape(8, 8, 3)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """media → (media_ref, features array<float>) via Arrow-batched
+    mapInPandas; per-batch vectorized (decode loop is per item — the real
+    codec is too — but everything around it is numpy batch ops).
+
+    The production body swaps ``_stub_decode`` for a real decoder and the
+    pooling for a model forward (iterator form keeps per-partition model
+    init amortized, like the reference's DataLoader workers,
+    inference.py:162-163).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition init happens HERE (model load in production)
+        rng_planes = np.random.RandomState(42).standard_normal((8 * 8 * 3, dim))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            imgs = np.stack([_stub_decode(p) for p in pdf["payload"]])
+            flat = imgs.reshape(len(pdf), -1).astype("float64") / 255.0
+            feats = flat @ rng_planes  # stands in for the model forward
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "features": [row.astype("float32") for row in feats],
+                }
+            )
+
+    return media.select("media_ref", "payload").mapInPandas(batches, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: real impl = vips/PIL resize; the fake rewrites meta and
+    passes payload through.  Shape of the operation (mapInPandas over
+    payload+meta, same schema out) is what production code keeps."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video rows: explode frame indexes 0..n_frames-1,
+    keep every n-th (native explode + filter — no UDF; the DECODE of a kept
+    frame is the stubbed part)."""
+    return (
+        media.select(
+            "media_ref",
+            "kind",
+            "meta",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)))
+            ).alias("frame_no"),
+        )
+        .filter(F.pmod("frame_no", F.lit(every_n)) == 0)
+    )

@@ -55,6 +55,16 @@ def _template_to_pattern(template: str) -> str:
     return "^" + escaped + "$"
 
 
+def _template_literal(template: str) -> str:
+    """Longest constant segment of a two-slot template — the prescan key.
+
+    ``"{}'s former team is {}."`` → ``"'s former team is "``.
+    """
+    parts = template.split("{}")
+    best = max(parts, key=len) if parts else ""
+    return best if len(best) >= 4 else ""
+
+
 def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
     """text spans × relation templates → raw (doc_id, pos, p, surfaces).
 
@@ -62,18 +72,28 @@ def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
     rows by construction) and closed over — the same broadcast the reference
     does with its rel2desc dict (eval_and_app/prepare_data.py:21-25).
     """
-    templates = [(r["p"], _template_to_pattern(r["template"])) for r in rel2desc.collect()]
+    templates = [
+        (r["p"], _template_to_pattern(r["template"]), _template_literal(r["template"]))
+        for r in rel2desc.collect()
+    ]
 
     def match_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        compiled = [(p, re.compile(pat)) for p, pat in templates]
+        compiled = [(p, re.compile(pat), lit) for p, pat, lit in templates]
         for pdf in batches:
             outs = []
             texts = pdf["text"].astype(str)
-            for p, rgx in compiled:
-                ext = texts.str.extract(rgx)  # vectorized over the Arrow batch
+            for p, rgx, lit in compiled:
+                # cheap vectorized literal prescan: only rows containing the
+                # template's distinctive constant segment see the full regex
+                # (the reference's analogue is its per-relation file split —
+                # each scorer only ever sees its own relation's rows)
+                cand = texts.str.contains(lit, regex=False) if lit else texts.notna()
+                if not cand.any():
+                    continue
+                ext = texts[cand].str.extract(rgx)  # vectorized over the batch
                 hit = ext[0].notna()
                 if hit.any():
-                    sub = pdf.loc[hit, ["doc_id", "pos"]].copy()
+                    sub = pdf.loc[hit[hit].index, ["doc_id", "pos"]].copy()
                     sub["p"] = p
                     sub["s_surface"] = ext.loc[hit, 0]
                     sub["o_surface"] = ext.loc[hit, 1]

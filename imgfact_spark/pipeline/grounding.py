@@ -56,7 +56,6 @@ def grounding_candidates(candidates: DataFrame, media: DataFrame) -> DataFrame:
         F.col("media_o").alias("o"),
         "media_ref",
         "subset",
-        F.col("pos").alias("media_pos"),
     )
     return candidates.join(m, ["doc_id", "s", "o"], "inner")
 
@@ -93,3 +92,70 @@ def topk_groundings(filtered: DataFrame, k: int = DEFAULT_TOPK) -> DataFrame:
         k=k,
         tiebreak=["media_ref", "doc_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-simulation scoring path (performance-profile variant)
+# ---------------------------------------------------------------------------
+
+
+def score_groundings_model_sim(
+    gc, width: int = 256, layers: int = 4, seed: int = 42
+):
+    """Scoring through a deterministic numpy "encoder" whose compute profile
+    resembles a small vision-text scoring head (batch @ width×width matmul
+    stack), instead of the µs hash stand-in.
+
+    The reference's grounding filters run CLIP on every (image, text) pair
+    (ptuningfilter.py:33-47) — GFLOPs per row — so the engine's scaling
+    behavior under a compute-dominated kernel is the representative one.
+    Outputs are deterministic pure functions of (s,p,o,media_ref) (stable
+    across partitionings/runs) but follow the encoder's score distribution,
+    not the calibrated-uniform one; use the default column path for
+    oracle-matched decisions.
+
+    Shape: one Arrow-batched mapInPandas; per batch ONE vectorized hash per
+    score key, sinusoidal expansion to ``width`` dims, ``layers`` tanh
+    matmuls (BLAS), logistic readout.  No per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    planes = [
+        (rng.standard_normal((width, width)) / np.sqrt(width)).astype("float64")
+        for _ in range(layers)
+    ]
+    readout = rng.standard_normal(width).astype("float64") / np.sqrt(width)
+    freqs = (rng.uniform(0.5, 2.0, width) * 2 * np.pi).astype("float64")
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in gc.schema.fields
+    ) + ", score double, score_s double, score_o double"
+
+    def encode(keys: "pd.Series") -> "np.ndarray":
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        base = (h % np.uint64(2**31)).astype("float64") / float(2**31)
+        x = np.sin(np.outer(base, freqs))
+        for w in planes:
+            x = np.tanh(x @ w)
+        z = x @ readout
+        return 1.0 / (1.0 + np.exp(-3.0 * z))
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pair_key = (
+                "pair|" + pdf["s"] + "|" + pdf["p"] + "|" + pdf["o"]
+                + "|" + pdf["media_ref"]
+            )
+            s_key = "ent|" + pdf["s"] + "|" + pdf["media_ref"]
+            o_key = "ent|" + pdf["o"] + "|" + pdf["media_ref"]
+            pdf = pdf.copy()
+            pdf["score"] = np.round(encode(pair_key), 6)
+            pdf["score_s"] = np.round(0.75 + 0.25 * encode(s_key), 6)
+            pdf["score_o"] = np.round(0.75 + 0.25 * encode(o_key), 6)
+            yield pdf
+
+    return gc.mapInPandas(score_batches, schema=out_schema)

@@ -48,6 +48,8 @@ class PipelineConfig:
     use_lsh_aliases: bool = False  # char-LSH alias edges (slow on tiny data)
     n_subset_partitions: int = 30
     checkpoint: str = "all"       # "all" | "final"
+    scoring: str = "column"       # "column" (hash stand-in) | "model_sim" (numpy kernel)
+    lineage_stats: bool = True    # per-partition row counts in commit markers
 
 
 @dataclass
@@ -85,7 +87,10 @@ def run_pipeline(
 
     def _stage(name, compute, partition_by=None, shared=False):
         if cfg.checkpoint == "all" or name in _FINAL_STAGES:
-            return stage(store, name, fp, compute, spark, partition_by=partition_by)
+            return stage(
+                store, name, fp, compute, spark,
+                partition_by=partition_by, stats=cfg.lineage_stats,
+            )
         df = compute()
         if shared:
             df = df.persist()
@@ -97,15 +102,30 @@ def run_pipeline(
     else:
         documents_stable = documents
 
-    spans = _stage(
-        "spans", lambda: ingest.explode_spans(documents_stable), shared=True
-    )
-    media = _stage("media", lambda: ingest.media_spans(spans), shared=True)
+    # spans is NOT persisted in final mode: its two consumers (media,
+    # mentions) read disjoint subsets, so caching the exploded rows costs
+    # more memory bandwidth than re-scanning the compressed parquet source.
+    spans = _stage("spans", lambda: ingest.explode_spans(documents_stable))
+    media_full = _stage("media", lambda: ingest.media_spans(spans))
+    if cfg.checkpoint == "final":
+        # persist only the columns downstream consumers read: pos/media_p/
+        # img_no are provenance, kept in the committed table ('all' mode)
+        # but dead weight in the hot cache.
+        media = media_full.select(
+            "doc_id", "media_ref", "subset", "media_s", "media_o"
+        ).persist()
+        persisted.append(media)
+    else:
+        media = media_full
     mentions = _stage("mentions", lambda: extract.detect_mentions(spans, rel2desc))
-    candidates = _stage(
-        "candidates", lambda: extract.link_entities(mentions, kb_entities),
-        shared=True,
+    candidates_full = _stage(
+        "candidates", lambda: extract.link_entities(mentions, kb_entities)
     )
+    if cfg.checkpoint == "final":
+        candidates = candidates_full.select("doc_id", "s", "p", "o").persist()
+        persisted.append(candidates)
+    else:
+        candidates = candidates_full
     visual = _stage(
         "visual_entities",
         lambda: entity_filter.visual_entities(
@@ -128,7 +148,10 @@ def run_pipeline(
 
     def _groundings():
         gc = grounding.grounding_candidates(wl_cand, media)
-        scored = grounding.score_groundings(gc)
+        if cfg.scoring == "model_sim":
+            scored = grounding.score_groundings_model_sim(gc)
+        else:
+            scored = grounding.score_groundings(gc)
         filtered = grounding.filter_groundings(
             scored, cfg.pair_threshold, cfg.ent_threshold
         )
@@ -177,9 +200,9 @@ def run_pipeline(
         kg_groundings=kg_groundings,
         stages={
             "spans": spans,
-            "media": media,
+            "media": media_full,
             "mentions": mentions,
-            "candidates": candidates,
+            "candidates": candidates_full,
             "visual_entities": visual,
             "visual_candidates": vis_cand,
             "whitelisted_candidates": wl_cand,

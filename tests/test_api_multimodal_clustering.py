@@ -1,0 +1,117 @@
+"""Tests: read API (§3.2), multimodal plumbing, per-triplet clustering (M6)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from imgfact_spark.api import ImgFactDataset
+from imgfact_spark.multimodal import extract_features, sample_frames, synth_media
+from imgfact_spark.operators.clustering import cluster_representatives
+
+
+def _groundings(spark):
+    rows = [
+        ("A", "rel1", "B", "img://x/rel1/A B/0.jpg", 0.9, 1),
+        ("A", "rel1", "B", "img://x/rel1/A B/1.jpg", 0.8, 2),
+        ("A", "rel2", "C", "img://x/rel2/A C/0.jpg", 0.7, 1),
+        ("D", "rel1", "B", "img://x/rel1/D B/0.jpg", 0.6, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "s string, p string, o string, media_ref string, score double, rank int"
+    )
+
+
+def test_api_vocab_and_retrievals(spark):
+    ds = ImgFactDataset(_groundings(spark))
+    ents = {r["entity"] for r in ds.load_entities().collect()}
+    assert ents == {"A", "B", "C", "D"}
+    rels = {r["p"] for r in ds.load_relations().collect()}
+    assert rels == {"rel1", "rel2"}
+
+    by_head = ds.retrieve_img_from_entity(head="A").collect()
+    assert len(by_head) == 3
+    by_pair = ds.retrieve_img_from_entity(head="A", tail="B").collect()
+    assert len(by_pair) == 2
+    by_rel = ds.retrieve_img_from_relation("rel1").collect()
+    assert len(by_rel) == 3
+    exact = ds.retrieve_img_from_triplet("A", "rel1", "B").collect()
+    assert {r["media_ref"] for r in exact} == {
+        "img://x/rel1/A B/0.jpg",
+        "img://x/rel1/A B/1.jpg",
+    }
+    counts = {
+        (r["s"], r["p"], r["o"]): r["n_images"]
+        for r in ds.triplet_image_counts().collect()
+    }
+    assert counts[("A", "rel1", "B")] == 2
+
+
+def test_multimodal_feature_extraction(spark):
+    refs = _groundings(spark).select("media_ref").distinct()
+    media = synth_media(spark, refs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r["features"]) == 16
+    # deterministic across invocations
+    again = {r["media_ref"]: r["features"] for r in extract_features(media, dim=16).collect()}
+    for r in rows:
+        assert again[r["media_ref"]] == r["features"]
+
+
+def test_multimodal_frame_sampling(spark):
+    refs = spark.createDataFrame([("v1",)], "media_ref string")
+    media = synth_media(spark, refs).withColumn(
+        "meta",
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(10).alias("n_frames"), F.lit(0).alias("sample_rate"),
+        ),
+    )
+    frames = sample_frames(media, every_n=3).collect()
+    assert sorted(r["frame_no"] for r in frames) == [0, 3, 6, 9]
+
+
+def test_cluster_representatives(spark):
+    # triplet T: 4 images — two visual clusters (two near-identical pairs)
+    base_a = np.ones(8)
+    base_b = np.concatenate([np.ones(4) * -1, np.ones(4)])
+    feats = {
+        "i0": base_a, "i1": base_a * 1.01,           # cluster 1
+        "i2": base_b, "i3": base_b * 0.99,           # cluster 2
+    }
+    g = spark.createDataFrame(
+        [("A", "r", "B", k, 1.0 - 0.1 * i) for i, k in enumerate(["i0", "i1", "i2", "i3"])],
+        "s string, p string, o string, media_ref string, score double",
+    )
+    f = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in feats.items()],
+        "media_ref string, features array<float>",
+    )
+    kept = cluster_representatives(g, f, eps=0.25).collect()
+    # one representative per cluster, best score first
+    refs = sorted(r["media_ref"] for r in kept)
+    assert refs == ["i0", "i2"]
+    for r in kept:
+        assert r["cluster_size"] == 2
+
+
+def test_cluster_representatives_partition_invariant(spark):
+    rng = np.random.RandomState(3)
+    feats = rng.standard_normal((12, 8))
+    g = spark.createDataFrame(
+        [("A", "r", "B", f"m{i}", float(rng.rand())) for i in range(12)],
+        "s string, p string, o string, media_ref string, score double",
+    )
+    f = spark.createDataFrame(
+        [(f"m{i}", [float(x) for x in feats[i]]) for i in range(12)],
+        "media_ref string, features array<float>",
+    )
+    a = sorted(map(tuple, cluster_representatives(g, f, eps=0.4).collect()))
+    b = sorted(
+        map(tuple, cluster_representatives(g.repartition(5), f.repartition(3), eps=0.4).collect())
+    )
+    assert a == b

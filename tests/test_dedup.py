@@ -1,0 +1,101 @@
+"""Dedup operator tests with planted duplicates."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_df,
+    simhash64,
+    simhash_dup_pairs,
+)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "a completely different document about spark dataframes and shuffles",
+    "knowledge graphs connect entities through typed relations and evidence",
+    "vector embeddings enable approximate nearest neighbor retrieval at scale",
+]
+
+
+def _corpus(spark):
+    rows = []
+    i = 0
+    for text in BASE:
+        rows.append((i, text)); i += 1
+        # exact dup
+        rows.append((i, text)); i += 1
+        # near dup: one word changed
+        rows.append((i, text.replace("the", "that", 1))); i += 1
+    # whitespace-variant dup of doc 0
+    rows.append((i, "  " + BASE[0].replace(" ", "  ") + " ")); i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _corpus(spark)
+    kept = exact_dedup(df, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # exact dups (1,4,7,10) and the whitespace variant (12) collapse
+    assert 1 not in ids and 4 not in ids and 7 not in ids and 10 not in ids
+    assert 12 not in ids
+    assert 0 in ids and 2 in ids  # near-dup SURVIVES exact dedup
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = _corpus(spark)
+    sh = shingle_df(df, "text", "doc_id", n=2)
+    sig = minhash_signature(sh, "doc_id", num_hashes=64)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dup_pairs(sig, "doc_id", 16, 4).collect()
+    }
+    # every exact-dup pair collides in all bands
+    for a, b in [(0, 1), (3, 4), (6, 7), (9, 10)]:
+        assert (a, b) in pairs
+    # near-dup (one-word change) shares most shingles → should collide too
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_minhash_dedup_end_to_end(spark):
+    df = _corpus(spark)
+    kept = minhash_dedup(df, "text", "doc_id", n=2)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # representatives only: min id of each near-dup component survives
+    assert 0 in ids
+    assert 1 not in ids
+    assert len(ids) <= 8
+
+
+def test_simhash_hamming_pairs(spark):
+    df = _corpus(spark)
+    sim = simhash64(df, "text", "doc_id", n=1)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    # identical text → identical simhash
+    assert vals[0] == vals[1]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_dup_pairs(sim, "doc_id", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_verification(spark):
+    df = _corpus(spark)
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, cand, "text", "doc_id", n=2, threshold=0.5).collect()
+    }
+    assert got[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in got and got[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in got  # unrelated text filtered out

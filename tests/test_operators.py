@@ -1,0 +1,120 @@
+"""Unit tests for the operator library vs plain-Python oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.balance import oversample_balance
+from imgfact_spark.operators.connected_components import connected_components
+from imgfact_spark.operators.messy_swap import messy_swap
+from imgfact_spark.operators.salted import salted_count
+from imgfact_spark.operators.topk import topk_per_group
+from imgfact_spark.operators.zip_join import zip_join
+
+
+def test_topk_per_group(spark):
+    rows = [("g1", i, float(i % 7)) for i in range(20)] + [
+        ("g2", i, float(i % 3)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, score double")
+    got = topk_per_group(
+        df, keys=["g"], order_by=[F.desc("score")], k=3, tiebreak=["id"]
+    ).collect()
+    pdf = pd.DataFrame(rows, columns=["g", "id", "score"])
+    want = set()
+    for g, grp in pdf.groupby("g"):
+        top = grp.sort_values(["score", "id"], ascending=[False, True]).head(3)
+        for rank, (_, r) in enumerate(top.iterrows(), 1):
+            want.add((g, int(r["id"]), rank))
+    assert {(r["g"], r["id"], r["rank"]) for r in got} == want
+
+
+def test_topk_prefilter_salt_same_result(spark):
+    rows = [("g1", i, float((i * 37) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id int, score double")
+    base = topk_per_group(df, ["g"], [F.desc("score")], 5, tiebreak=["id"])
+    salted = topk_per_group(
+        df, ["g"], [F.desc("score")], 5, tiebreak=["id"], prefilter_salt=4
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_count_matches_plain(spark):
+    rows = [(f"k{i % 5}", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: r["count"] for r in salted_count(df, ["k"], n_salts=8).collect()}
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == plain
+
+
+def test_salted_count_distinct(spark):
+    rows = [(f"k{i % 3}", f"v{i % 10}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {
+        r["k"]: r["n"] for r in salted_count(df, ["k"], distinct_on="v", count_col="n").collect()
+    }
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == plain
+
+
+def test_zip_join_positional(spark):
+    left = spark.createDataFrame([(i, f"L{i}") for i in range(50)], "lid int, lval string")
+    right = spark.createDataFrame([(i, f"R{i}") for i in range(50)], "rid int, rval string")
+    got = zip_join(left, right, left_order=["lid"], right_order=["rid"]).collect()
+    assert len(got) == 50
+    for r in got:
+        assert r["lval"][1:] == r["rval"][1:]  # i-th pairs with i-th
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+    assert got["p"] == "p"
+
+
+def test_connected_components_chain(spark):
+    # long chain: exercises multi-round convergence
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {"n00"}
+
+
+def test_oversample_balance(spark):
+    rows = [("a", i) for i in range(12)] + [("b", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "cls string, id int")
+    got = oversample_balance(df, "cls").groupBy("cls").count().collect()
+    counts = {r["cls"]: r["count"] for r in got}
+    # a: factor floor(12/12)=1 → 12; b: floor(12/3)=4 → 12
+    assert counts == {"a": 12, "b": 12}
+
+
+def test_messy_swap_cross_cluster(spark):
+    rows = [(f"img{i}", i % 3, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    out = messy_swap(df).collect()
+    assert len(out) == 30
+    orig_cluster = {f"img{i}": i % 3 for i in range(30)}
+    swapped = 0
+    for r in out:
+        if r["img_path"] != r["img_path_orig"]:
+            # swapped-in image must come from a different cluster
+            assert orig_cluster[r["img_path"]] != r["cluster_id"]
+            swapped += 1
+    assert swapped >= 20  # vast majority finds a cross-cluster partner
+
+
+def test_messy_swap_deterministic(spark):
+    rows = [(f"img{i}", i % 2, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    a = sorted(map(tuple, messy_swap(df).collect()))
+    b = sorted(map(tuple, messy_swap(df.repartition(7)).collect()))
+    assert a == b

@@ -1,0 +1,84 @@
+"""Similarity search tests: exactness vs numpy oracle, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplane_signature,
+    lsh_topk,
+)
+
+DIM = 16
+N = 120
+
+
+def _vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((N, DIM)).astype("float32")
+    # plant near-dups: 100+i ≈ i slightly perturbed
+    for i in range(5):
+        vecs[N - 5 + i] = vecs[i] + rng.standard_normal(DIM).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(df, q, k=5)
+    res = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    for qi in range(3):
+        cos = (v @ v[qi]) / (norms * norms[qi])
+        cos = np.round(cos, 6)
+        order = sorted(range(N), key=lambda j: (-cos[j], j))[:5]
+        for rank, j in enumerate(order, 1):
+            assert res[(qi, rank)] == j, (qi, rank, res[(qi, rank)], j)
+
+
+def test_hyperplane_signature_paths_agree(spark):
+    df, _ = _vectors(spark)
+    a = hyperplane_signature(df, "embedding", DIM, 8, 42, "sig", method="column")
+    b = hyperplane_signature(df, "embedding", DIM, 8, 42, "sig", method="pandas")
+    av = {r["vec_id"]: r["sig"] for r in a.collect()}
+    bv = {r["vec_id"]: r["sig"] for r in b.collect()}
+    assert av == bv
+
+
+def test_lsh_topk_recall(spark):
+    df, _ = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(df, q, k=3)
+    approx = lsh_topk(df, q, dim=DIM, k=3, n_planes=6, n_tables=6)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # self-match (cosine 1.0) must always be found — a query collides with
+    # itself in every table
+    for qi in range(5):
+        assert (qi, qi) in ap
+
+
+def test_cosine_neardup_pairs(spark):
+    df, _ = _vectors(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            df, dim=DIM, threshold=0.98, n_planes=6, n_tables=6
+        ).collect()
+    }
+    found = sum(1 for i in range(5) if (i, N - 5 + i) in pairs)
+    assert found >= 4, f"planted near-dups found: {found}/5"

@@ -1,0 +1,105 @@
+"""Text normalization + deterministic scorer parity tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imgfact_spark.functions.scoring import det_score_col, det_score_py, xxh64, _to_signed
+from imgfact_spark.functions.text import (
+    canonical_entity,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from tests.oracle import canonical_entity_py
+
+
+CASES = [
+    "David_Beckham",
+    "David Beckham",
+    "David Beckham (footballer)",
+    "Head 0099 (1999 film)",
+    "Nested (qual (inner)) Name",
+    "  padded  ",
+    "under_scored_(qualifier)",
+]
+
+
+def test_canonical_entity_matches_python(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "v string")
+    got = [r["c"] for r in df.select(canonical_entity("v").alias("c")).collect()]
+    want = [canonical_entity_py(c) for c in CASES]
+    assert got == want
+
+
+def test_canonical_entity_unifies_aliases(spark):
+    df = spark.createDataFrame(
+        [("David_Beckham",), ("David Beckham",), ("David Beckham (footballer)",)],
+        "v string",
+    )
+    vals = {r["c"] for r in df.select(canonical_entity("v").alias("c")).collect()}
+    assert vals == {"David_Beckham"}
+
+
+def test_xxhash64_parity_spark_python(spark):
+    vals = ["", "a", "hello world", "Head_0000|formerTeam|Tail_0001", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == _to_signed(xxh64(v.encode())), v
+
+
+def test_det_score_col_py_parity(spark):
+    rows = [("s1", "p1"), ("s2", "p2"), ("Head_0000", "formerTeam")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = [
+        r["u"] for r in df.select(
+            F.round(det_score_col("a", "b"), 9).alias("u")
+        ).collect()
+    ]
+    import pandas as pd
+
+    want = det_score_py(
+        pd.Series([a for a, _ in rows]), pd.Series([b for _, b in rows])
+    ).round(9).tolist()
+    assert got == want
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("two words",), ("  padded   words here ",)],
+        "t string",
+    )
+    got = [r["n"] for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [0, 0, 1, 2, 3]
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was happy",),
+            ("zxcv qwer asdf yuio",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got == ["en", "other"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("",), ("a good length sentence with many normal english words included",)],
+        "t string",
+    )
+    got = [r["q"] for r in df.select(quality_score("t").alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[1] > got[0]
+
+
+def test_doc_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("different",)], "t string"
+    )
+    got = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert got[0] == got[1] != got[2]
