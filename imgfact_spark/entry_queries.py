@@ -1158,3 +1158,66 @@ def j9_messy_swap(spark, sf_dir):
         "event_id",
     )
     return messy_swap(df)
+
+
+@_register(
+    "w2_top5_membership",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS price
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ), ranked AS (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY price DESC, l_linenumber) AS rnk
+      FROM base
+    )
+    SELECT l_orderkey,
+           CAST(MAX(CASE WHEN l_linenumber = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS INT) AS label_in_top5
+    FROM ranked GROUP BY l_orderkey
+    """,
+)
+def w2_top5_membership(spark, sf_dir):
+    """W2: keep group iff the positive candidate ranks in the top-5
+    (CPgen.py:367-378 argsort gate) — expressed array-native per SURVEY
+    §2.5: sort the struct array desc, slice 5, exists."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("price"))
+    )
+    # explicit comparator: price desc, linenumber asc (ties must break the
+    # same way as the SQL oracle's ORDER BY price DESC, l_linenumber)
+    cmp = (
+        "(l, r) -> CASE WHEN l.price > r.price THEN -1 "
+        "WHEN l.price < r.price THEN 1 "
+        "WHEN l.l_linenumber < r.l_linenumber THEN -1 "
+        "WHEN l.l_linenumber > r.l_linenumber THEN 1 ELSE 0 END"
+    )
+    arr = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("price", "l_linenumber")).alias("cands"))
+        .withColumn("sorted", F.expr(f"array_sort(cands, {cmp})"))
+        .withColumn("top5", F.slice("sorted", 1, 5))
+    )
+    return arr.select(
+        "l_orderkey",
+        F.exists("top5", lambda x: x["l_linenumber"] == 1)
+        .cast("int")
+        .alias("label_in_top5"),
+    )
+
+
+@_register("a2_group_collect_scored")  # rows-only: nested array output
+def a2_group_collect_scored(spark, sf_dir):
+    """A2: group-collect of scored items per key with deterministic
+    ordering (ptuningfilter.py:49-60 resdic) — array_sort(collect_list)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_extendedprice"))
+            ).alias("items")
+        )
+        .select("l_orderkey", F.size("items").alias("n_items"), "items")
+    )

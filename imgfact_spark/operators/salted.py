@@ -40,6 +40,10 @@ def salted_count(
         # distinct within a salt bucket is globally distinct because the salt
         # is a pure function of the distinct column — buckets are disjoint.
         return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # plain count is salt-value-agnostic (sums of partials are associative),
+    # so derive the salt from the row position, NOT row content — hashing
+    # data columns here would defeat column pruning (the scan would read
+    # every column just to compute the salt).
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     partial = df.groupBy(*keys, salt.alias("_salt")).agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))
