@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
     r2d = synth.rel2desc_df(spark)
     store = TableStore(tempfile.mkdtemp(prefix="imgfact_entry_"))
     res = run_pipeline(
-        spark, docs, r2d, ents, store, PipelineConfig(),
+        spark, docs, r2d, ents, store, PipelineConfig(checkpoint="final"),
         input_fingerprint="synth:42:500",
     )
     g = res.kg_groundings.groupBy("s", "p", "o").agg(

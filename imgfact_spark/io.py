@@ -71,10 +71,16 @@ class TableStore:
     ) -> DataFrame:
         """Write a stage table + commit marker with per-partition row counts.
 
-        On Iceberg this is ``df.writeTo(...).partitionedBy(...).createOrReplace()``
-        and lineage lands in a ``_lineage`` table; the parquet fallback keeps
-        the same information in the sidecar marker.
+        With ``catalog_table_prefix`` set (e.g. ``"iceberg.kg"``) the write
+        goes through the catalog as an Iceberg table
+        (``df.writeTo(...).partitionedBy(...).createOrReplace()``) and
+        lineage additionally lands in the sidecar; the parquet fallback
+        keeps identical semantics for sandboxes without an Iceberg runtime.
         """
+        if self.catalog_table_prefix:
+            return self._write_catalog(
+                df, name, partition_by, input_fingerprint, stats
+            )
         target = self.path(name)
         if partition_by:
             # co-locate each output partition in one task: without this a
@@ -119,8 +125,43 @@ class TableStore:
             json.dump(meta, f)
         return written
 
+    def _write_catalog(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None,
+        input_fingerprint: str | None,
+        stats: bool,
+    ) -> DataFrame:
+        """Iceberg-catalog write path (production; requires the runtime jar
+        + a configured ``spark.sql.catalog.*``)."""
+        table = f"{self.catalog_table_prefix}.{name}"
+        writer = df.writeTo(table)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        spark = df.sparkSession
+        written = spark.read.table(table)
+        total = written.count() if stats else -1
+        meta = {
+            "table": name,
+            "catalog_table": table,
+            "rows": total,
+            "partition_by": partition_by or [],
+            "partitions": [],
+            "input_fingerprint": input_fingerprint,
+            "committed_at": time.time(),
+            "schema": written.schema.jsonValue(),
+        }
+        os.makedirs(self.path(name), exist_ok=True)
+        with open(self._marker_path(name), "w") as f:
+            json.dump(meta, f)
+        return written
+
     # ------------------------------------------------------------------- read
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.catalog_table_prefix:
+            return spark.read.table(f"{self.catalog_table_prefix}.{name}")
         return spark.read.parquet(self.path(name))
 
     def drop(self, name: str) -> None:

@@ -1,0 +1,112 @@
+"""Engineering-invariant guards + fine-grained resume semantics."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+from imgfact_spark import synth
+from imgfact_spark.io import TableStore
+from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+SRC = os.path.join(os.path.dirname(__file__), "..", "imgfact_spark")
+
+
+def test_no_per_row_python_in_src():
+    """BASELINE.json: 'no per-row Python executes anywhere' — ban
+    row-at-a-time UDFs and RDD lambdas in the engine source (Arrow-batched
+    pandas UDFs / mapInPandas / applyInPandas are the sanctioned path)."""
+    banned = [
+        re.compile(r"@F\.udf"),
+        re.compile(r"F\.udf\("),
+        re.compile(r"\budf\(lambda"),
+        re.compile(r"\.rdd\.map"),
+        re.compile(r"\.rdd\.flatMap"),
+        re.compile(r"\.rdd\.mapPartitions"),
+    ]
+    offenders = []
+    for path in glob.glob(os.path.join(SRC, "**", "*.py"), recursive=True):
+        text = open(path).read()
+        for pat in banned:
+            if pat.search(text):
+                offenders.append((os.path.relpath(path, SRC), pat.pattern))
+    assert not offenders, f"per-row Python found: {offenders}"
+
+
+def test_no_collect_in_pipeline_hot_path():
+    """Driver-side collect() is allowed only for dimension tables and
+    lineage; the pipeline stage modules must not collect fact data."""
+    allowed = {"runner.py"}  # runner collects nothing; belt & braces anyway
+    offenders = []
+    for path in glob.glob(os.path.join(SRC, "pipeline", "*.py")):
+        name = os.path.basename(path)
+        text = open(path).read()
+        for m in re.finditer(r"\.collect\(\)", text):
+            # extract.detect_mentions collects the rel2desc DIMENSION (ok)
+            line = text[: m.start()].rsplit("\n", 1)[-1] + text[m.start():].split("\n", 1)[0]
+            if "rel2desc" not in line and name not in allowed:
+                offenders.append((name, line.strip()))
+    assert not offenders, offenders
+
+
+@pytest.fixture(scope="module")
+def small_run(spark, tmp_path_factory):
+    docs = synth.synth_documents(spark, 80).cache()
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+    store = TableStore(str(tmp_path_factory.mktemp("resume_store")))
+    cfg = PipelineConfig()
+    res = run_pipeline(spark, docs, r2d, ents, store, cfg, input_fingerprint="t:80")
+    # collect eagerly: later tests overwrite the store tables these
+    # DataFrames point at
+    triples80 = sorted(
+        map(tuple, res.kg_triples.select("s", "p", "o").collect())
+    )
+    return docs, kb, ents, r2d, store, cfg, res, triples80
+
+
+def test_stage_level_resume_recomputes_only_missing(spark, small_run):
+    """Kill-after-stage-k semantics: drop a LATER stage's commit; re-run
+    recomputes it but reuses every earlier stage (their commit timestamps
+    are untouched) — the reference's skip-finished-chunks contract."""
+    docs, kb, ents, r2d, store, cfg, res, triples80 = small_run
+    a = triples80
+    before = {
+        name: store.lineage(name)["committed_at"]
+        for name in ["spans", "media", "mentions", "candidates", "groundings"]
+    }
+    store.drop("kg_triples")
+    assert not store.is_committed("kg_triples")
+    res2 = run_pipeline(spark, docs, r2d, ents, store, cfg, input_fingerprint="t:80")
+    after = {
+        name: store.lineage(name)["committed_at"]
+        for name in ["spans", "media", "mentions", "candidates", "groundings"]
+    }
+    assert before == after, "earlier stages were recomputed on resume"
+    assert store.is_committed("kg_triples")
+    b = sorted(map(tuple, res2.kg_triples.select("s", "p", "o").collect()))
+    assert a == b
+
+
+def test_changed_input_fingerprint_invalidates(spark, small_run):
+    """A different input fingerprint must NOT reuse stale checkpoints."""
+    docs, kb, ents, r2d, store, cfg, res, triples80 = small_run
+    docs2 = synth.synth_documents(spark, 90)
+    res2 = run_pipeline(
+        spark, docs2, r2d, ents, store, cfg, input_fingerprint="t:90"
+    )
+    assert store.lineage("kg_triples")["input_fingerprint"] == "t:90"
+    assert res2.kg_triples.count() >= len(triples80)
+
+
+def test_lineage_df(spark, small_run):
+    *_, store, cfg, res, triples80 = small_run
+    ldf = store.lineage_df(spark)
+    rows = {r["table"]: r for r in ldf.collect()}
+    assert "kg_triples" in rows and "spans" in rows
+    assert rows["spans"]["rows"] > 0
