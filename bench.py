@@ -38,7 +38,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
     from pyspark.sql import functions as F

@@ -35,3 +35,49 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     num = dot_product(a, b)
     den = l2_norm(a) * l2_norm(b)
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def mean_pool(df, keys: list[str], vec_col: str, dim: int):
+    """Element-wise mean of ``array<float>`` vectors per key group —
+    A6 per-key mean pooling (naive_prepare_data.py:133-139) as a grouped-map
+    ``applyInPandas`` (one numpy reduction per group).
+
+    The posexplode+avg formulation (entry_queries.a6_vector_mean_pool) is
+    the shuffle-lean alternative for very wide vectors; this one keeps
+    vectors intact — better when groups are few and wide.
+    (GROUPED_AGG pandas UDAFs can't return arrays, hence grouped-map.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{k} {dict(df.dtypes)[k]}" for k in keys
+    ) + ", mean_vec array<double>"
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["mean_vec"] = [vecs.mean(axis=0).tolist()]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(pool, schema=schema)
+
+
+def avg_l2_norm_udaf(vec_col: Column | str) -> Column:
+    """GROUPED_AGG pandas UDAF surface (SURVEY.md §2.11): mean L2 norm of a
+    group's vectors — one Arrow batch per group, scalar out."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _agg(v):
+        if len(v) == 0:
+            return 0.0
+        mat = np.vstack(v.to_numpy()).astype("float64")
+        return float(np.linalg.norm(mat, axis=1).mean())
+
+    # set REAL type objects: `from __future__ import annotations` stringifies
+    # inline hints and PySpark's GROUPED_AGG inference can't resolve them
+    _agg.__annotations__ = {"v": pd.Series, "return": float}
+    agg_udf = F.pandas_udf(_agg, "double")
+    return agg_udf(_c(vec_col) if not isinstance(vec_col, str) else F.col(vec_col))

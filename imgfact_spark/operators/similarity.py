@@ -9,9 +9,9 @@
   * cosine_neardup_pairs — embedding near-duplicate pairs via the same LSH
     tables + exact cosine verification.
 
-All dot products are JVM-side (zip_with/aggregate).  For very wide vectors
-(≥1k dims) swap `_dot` for a pandas-UDF numpy matmul — the operator contract
-is unchanged; see ``brute_force_topk(pandas=True)``.
+Dot products run JVM-side (zip_with/aggregate) by default; for wide vectors
+or many queries the ``method="pandas"`` paths switch to Arrow-batched numpy
+matmuls with identical outputs.
 """
 
 from __future__ import annotations
@@ -33,20 +33,60 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "column",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan → window top-k.
+    """Exact cosine top-k: queries × corpus scan → window top-k.
 
-    Output: (query_id, vec_id, cosine, rank).
+    ``column``: broadcast-join + zip_with/aggregate dot products (JVM-side,
+    no Python; right default for narrow vectors / few queries).
+    ``pandas``: the query matrix is closed over into ONE Arrow-batched
+    mapInPandas kernel doing a numpy ``(batch, dim) @ (dim, n_q)`` matmul —
+    BLAS beats codegen once n_q × dim is a few thousand mults per row.
+
+    Output: (query_id, vec_id, cosine, rank) — identical for both methods
+    (tests/test_similarity.py pins them together).
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    scored = (
-        ensure_parallelism(corpus.select(id_col, vec_col))
-        .join(F.broadcast(q))
-        .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
-        .drop("_qvec", vec_col)
-    )
+    if method == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        qrows = queries.select(query_id_col, vec_col).collect()
+        qids = np.array([r[query_id_col] for r in qrows])
+        qmat = np.vstack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
+        qnorm = np.linalg.norm(qmat, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        qt = (qmat / qnorm[:, None]).T  # (dim, n_q), pre-normalized
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                nrm = np.linalg.norm(m, axis=1)
+                nrm[nrm == 0] = 1.0
+                cos = np.round((m / nrm[:, None]) @ qt, 6)  # (batch, n_q)
+                n, nq = cos.shape
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.tile(qids, n),
+                        id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                        "cosine": cos.ravel(),
+                    }
+                )
+
+        scored = ensure_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
+            score, schema=f"{query_id_col} long, {id_col} long, cosine double"
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+        scored = (
+            ensure_parallelism(corpus.select(id_col, vec_col))
+            .join(F.broadcast(q))
+            .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
+            .drop("_qvec", vec_col)
+        )
     return topk_per_group(
         scored,
         keys=[query_id_col],

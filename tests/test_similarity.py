@@ -82,3 +82,35 @@ def test_cosine_neardup_pairs(spark):
     }
     found = sum(1 for i in range(5) if (i, N - 5 + i) in pairs)
     assert found >= 4, f"planted near-dups found: {found}/5"
+
+
+def test_brute_force_pandas_method_parity(spark):
+    df, _ = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in brute_force_topk(df, q, k=4, method="column").collect()
+    }
+    b = {
+        (r["query_id"], r["vec_id"]): (r["cosine"], r["rank"])
+        for r in brute_force_topk(df, q, k=4, method="pandas").collect()
+    }
+    assert a == b
+
+
+def test_mean_pool_and_udaf(spark):
+    from imgfact_spark.functions.vectors import avg_l2_norm_udaf, mean_pool
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [3.0, 4.0]), (2, [6.0, 8.0])],
+        "k int, vec array<float>",
+    )
+    pooled = {r["k"]: r["mean_vec"] for r in mean_pool(df, ["k"], "vec", 2).collect()}
+    assert pooled[1] == [2.0, 3.0] and pooled[2] == [6.0, 8.0]
+    norms = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(avg_l2_norm_udaf("vec").alias("n")).collect()
+    }
+    assert abs(norms[2] - 10.0) < 1e-9
