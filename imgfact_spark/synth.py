@@ -203,8 +203,10 @@ def _gen_one_doc(seed: int, doc_id: int, kb: pd.DataFrame, skew_block: int):
         n_media = int(rng.randint(0, 4))
         subset = (i % N_SUBSETS) + 1
         for n in range(n_media):
-            space_pair = f"{s.replace('_', ' ')} {o.replace('_', ' ')}"
-            emit_media(f"img://Triplelist{subset:03d}/{p}/{space_pair}/{n}.jpg")
+            # reference pair-dir layout: underscore-form entities joined by
+            # ONE space — `Triplelist014/formerTeam/Bryan_Muir Tampa_Bay_Lightning/8.jpg`
+            # (eval_and_app/data.prefix; README.md:66-84)
+            emit_media(f"img://Triplelist{subset:03d}/{p}/{s} {o}/{n}.jpg")
         if rng.rand() < 0.3:
             emit_text(_DISTRACTORS[rng.randint(len(_DISTRACTORS))])
         truth.append((s, p, o, n_media))
