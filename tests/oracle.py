@@ -31,13 +31,14 @@ def canonical_entity_py(x: str) -> str:
 
 
 def parse_media_ref(ref: str) -> tuple[str, str, str, str]:
-    """→ (subset, p, s, o) from img://Triplelist/rel/"s o"/N.jpg."""
+    """→ (subset, p, s, o) from img://Triplelist/rel/"s o"/N.jpg — pair
+    entities canonicalized like the pipeline (ingest.media_spans)."""
     parts = ref.removeprefix("img://").split("/")
     subset, p, pair = parts[0], parts[1], parts[2]
     toks = pair.split(" ")
     half = len(toks) // 2
-    s = "_".join(toks[:half])
-    o = "_".join(toks[half:])
+    s = canonical_entity_py("_".join(toks[:half]))
+    o = canonical_entity_py("_".join(toks[half:]))
     return subset, p, s, o
 
 
@@ -54,6 +55,7 @@ def run_oracle(
     """docs: [{doc_id, spans: [{kind,text,media_ref,offset}]}] →
     (kg_triples pdf, kg_groundings pdf)."""
     compiled = [(p, re.compile(_template_to_pattern(t))) for p, t in templates]
+    kb_entities = {canonical_entity_py(e) for e in kb_entities}
 
     mentions = []  # (doc_id, pos, s, p, o)
     media = []  # (doc_id, pos, media_ref, subset, p, s, o)
