@@ -111,8 +111,21 @@ def alias_map(entities: DataFrame, with_lsh: bool = True) -> DataFrame:
     )
 
 
+def rewrite_triples_norm(triples: DataFrame) -> DataFrame:
+    """Rewrite s/o through pure normalization — the no-LSH fast path.
+
+    ``alias_map(with_lsh=False)`` is exactly ``entity → canonical_entity``,
+    a pure Column function: applying it directly removes the alias-table
+    computation AND the broadcast join from the plan (idempotent on
+    already-canonical inputs)."""
+    return triples.withColumn("s", canonical_entity("s")).withColumn(
+        "o", canonical_entity("o")
+    )
+
+
 def rewrite_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
-    """Rewrite s/o through the alias map (broadcast dimension)."""
+    """Rewrite s/o through the alias map (broadcast dimension) — required
+    when LSH near-dup edges extend components beyond pure normalization."""
     am = F.broadcast(aliases)
     return (
         triples.join(

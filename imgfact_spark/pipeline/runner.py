@@ -159,16 +159,23 @@ def run_pipeline(
 
     grounded = _stage("groundings", _groundings)
 
-    def _aliases():
-        ents = canon.observed_entities(wl_cand)
-        return canon.alias_map(ents, with_lsh=cfg.use_lsh_aliases)
+    # Alias resolution: with LSH edges the map is a real table (components
+    # can merge distinct canonical forms); without LSH it IS
+    # canonical_entity, applied as a pure expression — no table, no
+    # broadcast join (canonicalize.rewrite_triples_norm).
+    if cfg.use_lsh_aliases:
+        def _aliases():
+            ents = canon.observed_entities(wl_cand)
+            return canon.alias_map(ents, with_lsh=True)
 
-    aliases = _stage("aliases", _aliases, shared=True)
+        aliases = _stage("aliases", _aliases, shared=True)
+        _rewrite = lambda df: canon.rewrite_triples(df, aliases)
+    else:
+        aliases = None
+        _rewrite = canon.rewrite_triples_norm
 
     def _kg_triples():
-        rewritten = canon.rewrite_triples(
-            wl_cand.select("doc_id", "s", "p", "o"), aliases
-        )
+        rewritten = _rewrite(wl_cand.select("doc_id", "s", "p", "o"))
         return (
             rewritten.groupBy("s", "p", "o")
             .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -185,7 +192,7 @@ def run_pipeline(
     kg_triples = _stage("kg_triples", _kg_triples, partition_by=["subset"])
 
     def _kg_groundings():
-        rewritten = canon.rewrite_triples(grounded, aliases)
+        rewritten = _rewrite(grounded)
         return rewritten.select(
             "s", "p", "o", "media_ref", "doc_id", "score", "rank", "subset"
         )
@@ -207,6 +214,6 @@ def run_pipeline(
             "visual_candidates": vis_cand,
             "whitelisted_candidates": wl_cand,
             "groundings": grounded,
-            "aliases": aliases,
+            **({"aliases": aliases} if aliases is not None else {}),
         },
     )
