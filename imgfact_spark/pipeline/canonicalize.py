@@ -36,17 +36,24 @@ def observed_entities(candidates: DataFrame) -> DataFrame:
 
 def char_shingle_edges(
     entities: DataFrame, n: int = 3, num_hashes: int = 32, bands: int = 8,
-    jaccard_threshold: float = 0.85,
+    jaccard_threshold: float = 0.85, min_len: int = 12,
 ) -> DataFrame:
     """Alias candidate edges between entities whose normalized forms are
     near-identical: char-n-gram MinHash banding, then exact Jaccard verify.
+
+    ``min_len`` gates LSH candidacy: short identifiers (zero-padded ids,
+    acronyms) have degenerate shingle sets — e.g. ``Tail_0000`` vs
+    ``Tail_0005`` share 6/7 trigrams (Jaccard 0.857) while naming different
+    entities — so fuzzy merging only applies to names long enough for the
+    n-gram statistics to be meaningful.  Short names still merge via
+    normalization edges.
 
     → edges(src, dst)
     """
     normed = entities.select(
         F.col("entity"),
         F.lower(canonical_entity("entity")).alias("_norm"),
-    )
+    ).filter(F.length("_norm") >= min_len)
     grams = normed.select(
         "entity",
         F.array_distinct(

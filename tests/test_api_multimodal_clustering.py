@@ -115,3 +115,51 @@ def test_cluster_representatives_partition_invariant(spark):
         map(tuple, cluster_representatives(g.repartition(5), f.repartition(3), eps=0.4).collect())
     )
     assert a == b
+
+
+def test_alias_map_lsh_merges_near_dup_names(spark):
+    """LSH alias path (canonicalize.alias_map with_lsh=True): typo/qualifier
+    variants that survive normalization cluster into one component."""
+    from imgfact_spark.pipeline.canonicalize import alias_map
+
+    ents = spark.createDataFrame(
+        [
+            ("Barcelona_Football_Club",),
+            ("Barcelona_Football_Club_(es)",),   # normalization edge
+            ("Barcelona_Footbal_Club",),         # typo → LSH edge only
+            ("Completely_Different_Entity",),
+        ],
+        "entity string",
+    )
+    am = {r["entity"]: r["canonical"] for r in alias_map(ents, with_lsh=True).collect()}
+    assert (
+        am["Barcelona_Football_Club"]
+        == am["Barcelona_Football_Club_(es)"]
+        == am["Barcelona_Footbal_Club"]
+    )
+    assert am["Completely_Different_Entity"] != am["Barcelona_Football_Club"]
+
+
+def test_pipeline_lsh_alias_mode_runs(spark, tmp_path):
+    """use_lsh_aliases=True end-to-end still produces the same triples on a
+    corpus whose aliases are all normalization-resolvable."""
+    from imgfact_spark import synth
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    docs = synth.synth_documents(spark, 60)
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+    base = run_pipeline(
+        spark, docs, r2d, ents, TableStore(str(tmp_path / "a")),
+        PipelineConfig(checkpoint="final"), input_fingerprint="lsh:60",
+    )
+    lsh = run_pipeline(
+        spark, docs, r2d, ents, TableStore(str(tmp_path / "b")),
+        PipelineConfig(checkpoint="final", use_lsh_aliases=True),
+        input_fingerprint="lsh:60",
+    )
+    a = sorted(map(tuple, base.kg_triples.select("s", "p", "o").collect()))
+    b = sorted(map(tuple, lsh.kg_triples.select("s", "p", "o").collect()))
+    assert a == b
