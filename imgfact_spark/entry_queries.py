@@ -1302,3 +1302,60 @@ def ref_fixture_triple_pr(spark, sf_dir):
         ],
         "status string, precision double, recall double, n_triples int",
     )
+
+
+@_register(
+    "ep_masked_inputs",
+    """
+    SELECT event_id AS line_no,
+           CAST(user_id AS VARCHAR) AS s,
+           event_type AS p,
+           CAST(user_id % 100 AS VARCHAR) AS o,
+           CAST(event_id AS VARCHAR) AS img_path,
+           CAST(user_id AS VARCHAR) || ' did ' || event_type || ' on [MASK].' AS input_text,
+           CAST(user_id % 100 AS VARCHAR) AS label_entity
+    FROM events WHERE event_id < 3000
+    """,
+)
+def ep_masked_inputs(spark, sf_dir):
+    """Eval-prep masked-input generation (prepare_data.py:62-75, P13/J6):
+    per-relation two-slot templates split into pre/mid/post Column algebra,
+    predicted slot masked (evalprep.masked_inputs)."""
+    from imgfact_spark import evalprep
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    pairs = ev.select(
+        F.col("event_id").alias("line_no"),
+        F.col("user_id").cast("string").alias("s"),
+        F.col("event_type").alias("p"),
+        (F.col("user_id") % 100).cast("string").alias("o"),
+        F.col("event_id").cast("string").alias("img_path"),
+    )
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    r2d = spark.createDataFrame(
+        [(t, "{}" + f" did {t} on " + "{}.") for t in sorted(types)],
+        "p string, template string",
+    )
+    return evalprep.masked_inputs(pairs, r2d, predict="o")
+
+
+@_register(
+    "ep_split_sets_sizes",
+    None,  # rows-only: split uses engine-side xxhash64
+)
+def ep_split_sets_sizes(spark, sf_dir):
+    """Deterministic train/dev/test split (evalprep.split_sets) — emits the
+    per-split sizes (disjoint + covering asserted in tests/test_evalprep.py)."""
+    from imgfact_spark import evalprep
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    pairs = ev.select(
+        F.col("event_id").alias("line_no"),
+        F.col("user_id").cast("string").alias("s"),
+        F.col("event_type").alias("p"),
+        (F.col("user_id") % 100).cast("string").alias("o"),
+        F.col("event_id").cast("string").alias("img_path"),
+    )
+    sets = evalprep.split_sets(pairs)
+    rows = [(k, v.count()) for k, v in sets.items()]
+    return spark.createDataFrame(rows, "split string, n long")
