@@ -94,7 +94,9 @@ class TableStore:
         writer.parquet(target)
 
         spark = df.sparkSession
-        written = spark.read.parquet(target)
+        # explicit schema: an empty write leaves no data files to infer
+        # from, and skipping inference avoids a footer-read job besides
+        written = spark.read.schema(df.schema).parquet(target)
         if not stats:
             total, partitions = -1, []
         elif partition_by:
@@ -162,6 +164,14 @@ class TableStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.catalog_table_prefix:
             return spark.read.table(f"{self.catalog_table_prefix}.{name}")
+        mp = self._marker_path(name)
+        if os.path.exists(mp):
+            # committed schema → no inference, and empty tables read fine
+            from pyspark.sql.types import StructType
+
+            with open(mp) as f:
+                schema = StructType.fromJson(json.load(f)["schema"])
+            return spark.read.schema(schema).parquet(self.path(name))
         return spark.read.parquet(self.path(name))
 
     def drop(self, name: str) -> None:

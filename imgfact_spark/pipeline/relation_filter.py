@@ -51,8 +51,14 @@ def sample_tuples_per_relation(
 ) -> DataFrame:
     """Seeded shuffle, keep ≤ per_relation triples per relation (O4).
 
-    Seed value is the reference's own (cluster.py:18 uses 998244353)."""
-    w = Window.partitionBy("p").orderBy(F.rand(seed), "s", "o")
+    Seed value is the reference's own (cluster.py:18 uses 998244353).
+    The shuffle key is a seeded HASH of the row, not ``F.rand(seed)``:
+    Spark's rand derives per-partition streams, so its sample would change
+    with input partitioning — a hash key keeps the selection a pure
+    function of the data (SURVEY.md §7 determinism hard part)."""
+    w = Window.partitionBy("p").orderBy(
+        F.xxhash64(F.lit(seed), "s", "o"), "s", "o"
+    )
     return (
         triples.select("s", "p", "o")
         .distinct()
