@@ -131,9 +131,10 @@ def rewrite_triples_norm(triples: DataFrame) -> DataFrame:
 
 
 def rewrite_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
-    """Rewrite s/o through the alias map (broadcast dimension) — required
-    when LSH near-dup edges extend components beyond pure normalization."""
-    am = F.broadcast(aliases)
+    """Rewrite s/o through the alias map — required when LSH near-dup edges
+    extend components beyond pure normalization.  No broadcast hint: the
+    alias dimension is entity-scaled; AQE broadcasts while it fits."""
+    am = aliases
     return (
         triples.join(
             am.select(F.col("entity").alias("s"), F.col("canonical").alias("_cs")),

@@ -58,8 +58,14 @@ def visual_entities(
 
 def filter_visual_triples(candidates: DataFrame, visual: DataFrame) -> DataFrame:
     """Keep candidate triples whose s AND o are visual entities — the J1
-    double broadcast left-semi join."""
-    v = F.broadcast(visual.select("entity"))
+    double left-semi join.
+
+    No forced broadcast hint: the ENTITY dimension grows with the corpus
+    (10^8+ entities at 10^12 docs would blow the 8 GB broadcast ceiling) —
+    AQE picks broadcast-hash when the gated set is actually small, and
+    shuffled semi-join with skew splitting otherwise.  Relation/template
+    dims elsewhere stay hinted (those are ≤142 rows by construction)."""
+    v = visual.select("entity")
     return candidates.join(
         v.withColumnRenamed("entity", "s"), "s", "left_semi"
     ).join(v.withColumnRenamed("entity", "o"), "o", "left_semi")

@@ -131,9 +131,10 @@ def link_entities(mentions: DataFrame, kb_entities: DataFrame) -> DataFrame:
     qualifiers — ``Counterfeit_(band)`` — must link to their stripped
     mention forms; cf. del_bar at ptuning.py:88-106 applied to both sides).
     """
-    ents = F.broadcast(
-        kb_entities.select(canonical_entity("entity").alias("entity")).distinct()
-    )
+    # no forced broadcast: the entity vocabulary scales with the KB
+    # (broadcast hint would cap at the 8 GB limit on a web-scale dictionary);
+    # AQE broadcasts automatically while it is small
+    ents = kb_entities.select(canonical_entity("entity").alias("entity")).distinct()
     cand = mentions.select(
         "doc_id",
         "pos",
