@@ -130,11 +130,14 @@ def rewrite_triples_norm(triples: DataFrame) -> DataFrame:
     )
 
 
-def rewrite_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame, aliases: DataFrame, broadcast_dim: bool = True
+) -> DataFrame:
     """Rewrite s/o through the alias map — required when LSH near-dup edges
-    extend components beyond pure normalization.  No broadcast hint: the
-    alias dimension is entity-scaled; AQE broadcasts while it fits."""
-    am = aliases
+    extend components beyond pure normalization.  ``broadcast_dim`` as in
+    filter_visual_triples: hint by default, disable at entity scales past
+    the broadcast ceiling."""
+    am = F.broadcast(aliases) if broadcast_dim else aliases
     return (
         triples.join(
             am.select(F.col("entity").alias("s"), F.col("canonical").alias("_cs")),

@@ -56,16 +56,20 @@ def visual_entities(
     )
 
 
-def filter_visual_triples(candidates: DataFrame, visual: DataFrame) -> DataFrame:
+def filter_visual_triples(
+    candidates: DataFrame, visual: DataFrame, broadcast_dim: bool = True
+) -> DataFrame:
     """Keep candidate triples whose s AND o are visual entities — the J1
     double left-semi join.
 
-    No forced broadcast hint: the ENTITY dimension grows with the corpus
-    (10^8+ entities at 10^12 docs would blow the 8 GB broadcast ceiling) —
-    AQE picks broadcast-hash when the gated set is actually small, and
-    shuffled semi-join with skew splitting otherwise.  Relation/template
-    dims elsewhere stay hinted (those are ≤142 rows by construction)."""
+    ``broadcast_dim``: hint the visual-entity set (default — saves the
+    fact-side shuffle; AQE alone only converts post-shuffle).  Disable at
+    web scale where the gated entity set can exceed the 8 GB broadcast
+    ceiling; AQE then handles skewed shuffled semi-joins.  Relation/template
+    dims elsewhere are always hinted (≤142 rows by construction)."""
     v = visual.select("entity")
+    if broadcast_dim:
+        v = F.broadcast(v)
     return candidates.join(
         v.withColumnRenamed("entity", "s"), "s", "left_semi"
     ).join(v.withColumnRenamed("entity", "o"), "o", "left_semi")

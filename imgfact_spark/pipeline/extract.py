@@ -118,7 +118,9 @@ def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
     )
 
 
-def link_entities(mentions: DataFrame, kb_entities: DataFrame) -> DataFrame:
+def link_entities(
+    mentions: DataFrame, kb_entities: DataFrame, broadcast_dim: bool = True
+) -> DataFrame:
     """Dictionary entity linking: canonicalize surfaces, keep mentions whose
     BOTH endpoints resolve to KB entities (broadcast semi-joins — the Spark
     form of the reference's ``in visualset`` membership test,
@@ -131,10 +133,13 @@ def link_entities(mentions: DataFrame, kb_entities: DataFrame) -> DataFrame:
     qualifiers — ``Counterfeit_(band)`` — must link to their stripped
     mention forms; cf. del_bar at ptuning.py:88-106 applied to both sides).
     """
-    # no forced broadcast: the entity vocabulary scales with the KB
-    # (broadcast hint would cap at the 8 GB limit on a web-scale dictionary);
-    # AQE broadcasts automatically while it is small
+    # broadcast_dim=True (default): hint the dictionary — AQE would only
+    # convert to broadcast AFTER shuffling the fact side, so the hint saves
+    # a full shuffle whenever the vocabulary is known to fit.  Set False at
+    # web scale (10^8+ entities exceeds the 8 GB broadcast ceiling).
     ents = kb_entities.select(canonical_entity("entity").alias("entity")).distinct()
+    if broadcast_dim:
+        ents = F.broadcast(ents)
     cand = mentions.select(
         "doc_id",
         "pos",

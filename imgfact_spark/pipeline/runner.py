@@ -50,6 +50,7 @@ class PipelineConfig:
     checkpoint: str = "all"       # "all" | "final"
     scoring: str = "column"       # "column" (hash stand-in) | "model_sim" (numpy kernel)
     lineage_stats: bool = True    # per-partition row counts in commit markers
+    broadcast_entity_dims: bool = True  # hint entity-scaled dims (off at web scale)
 
 
 @dataclass
@@ -119,7 +120,10 @@ def run_pipeline(
         media = media_full
     mentions = _stage("mentions", lambda: extract.detect_mentions(spans, rel2desc))
     candidates_full = _stage(
-        "candidates", lambda: extract.link_entities(mentions, kb_entities)
+        "candidates",
+        lambda: extract.link_entities(
+            mentions, kb_entities, broadcast_dim=cfg.broadcast_entity_dims
+        )
     )
     if cfg.checkpoint == "final":
         candidates = candidates_full.select("doc_id", "s", "p", "o").persist()
@@ -134,7 +138,9 @@ def run_pipeline(
     )
     vis_cand = _stage(
         "visual_candidates",
-        lambda: entity_filter.filter_visual_triples(candidates, visual),
+        lambda: entity_filter.filter_visual_triples(
+            candidates, visual, broadcast_dim=cfg.broadcast_entity_dims
+        ),
     )
 
     def _whitelisted():
@@ -169,7 +175,9 @@ def run_pipeline(
             return canon.alias_map(ents, with_lsh=True)
 
         aliases = _stage("aliases", _aliases, shared=True)
-        _rewrite = lambda df: canon.rewrite_triples(df, aliases)
+        _rewrite = lambda df: canon.rewrite_triples(
+            df, aliases, broadcast_dim=cfg.broadcast_entity_dims
+        )
     else:
         aliases = None
         _rewrite = canon.rewrite_triples_norm
