@@ -1359,3 +1359,50 @@ def ep_split_sets_sizes(spark, sf_dir):
     sets = evalprep.split_sets(pairs)
     rows = [(k, v.count()) for k, v in sets.items()]
     return spark.createDataFrame(rows, "split string, n long")
+
+
+@_register(
+    "x_multiway_join_rollup",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def x_multiway_join_rollup(spark, sf_dir):
+    """Five-table star join + aggregate (Catalyst join reordering +
+    broadcast of the small dims; the engine-completeness analogue of the
+    reference's multi-file dict-chained lookups).  Revenue summed in
+    DECIMAL: decimal addition is exact and order-independent, so parallel
+    sum order cannot flip a float ulp across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_lineitems"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
