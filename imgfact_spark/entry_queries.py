@@ -288,13 +288,18 @@ def j2_abstract_image_join(spark, sf_dir):
     SELECT o_orderpriority,
            SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS vis_count,
            COUNT(*) AS all_count,
-           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS ratio
+           FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS ratio
     FROM orders GROUP BY o_orderpriority HAVING COUNT(*) >= 20
     """,
 )
 def j3_visual_ratio(spark, sf_dir):
     """J3+O2: visual/all ratio with total gate
-    (gen_visual_relations.py:16-31)."""
+    (gen_visual_relations.py:16-31).
+
+    Ratio is truncated via floor(x*1e4)/1e4 on BOTH engines: DuckDB's
+    ``ROUND`` on a ``* 1.0`` literal yields DECIMAL (round-1 driver hash
+    mismatch), while floor over identical IEEE double ops is bitwise equal.
+    """
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -306,7 +311,9 @@ def j3_visual_ratio(spark, sf_dir):
         )
         .filter(F.col("all_count") >= 20)
         .withColumn(
-            "ratio", F.round(F.col("vis_count") * 1.0 / F.col("all_count"), 4)
+            "ratio",
+            F.floor(F.col("vis_count").cast("double") * 10000 / F.col("all_count"))
+            / 10000,
         )
     )
 
@@ -1207,19 +1214,57 @@ def w2_top5_membership(spark, sf_dir):
     )
 
 
-@_register("a2_group_collect_scored")  # rows-only: nested array output
+@_register(
+    "a2_group_collect_scored",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           STRING_AGG(
+               l_linenumber || ':' || CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+               ',' ORDER BY l_linenumber, FLOOR(l_extendedprice * 100)
+           ) AS items_str
+    FROM lineitem WHERE l_orderkey <= 500
+    GROUP BY l_orderkey
+    """,
+)
 def a2_group_collect_scored(spark, sf_dir):
     """A2: group-collect of scored items per key with deterministic
-    ordering (ptuningfilter.py:49-60 resdic) — array_sort(collect_list)."""
+    ordering (ptuningfilter.py:49-60 resdic) — array_sort(collect_list).
+
+    The collected list is serialized to a flat string (``lineno:cents``
+    joined by commas): the round-1 driver canonicalizer cannot hash nested
+    ``array<struct>`` cells, and integer cents (floor(price*100), identical
+    IEEE ops on both engines) dodge float-repr divergence between Spark's
+    Java ``Double.toString`` and DuckDB's shortest-round-trip formatting.
+    """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
     return (
-        li.groupBy("l_orderkey")
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("l_orderkey")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("l_linenumber", "l_extendedprice"))
+                F.collect_list(F.struct("l_linenumber", "cents"))
             ).alias("items")
         )
-        .select("l_orderkey", F.size("items").alias("n_items"), "items")
+        .select(
+            "l_orderkey",
+            F.size("items").alias("n_items"),
+            F.array_join(
+                F.transform(
+                    "items",
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["l_linenumber"].cast("string"),
+                        x["cents"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("items_str"),
+        )
     )
 
 

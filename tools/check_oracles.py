@@ -1,12 +1,20 @@
 """Compare every __spark_entry__ query against its DuckDB oracle at sf0.01,
 mimicking the driver: row count, schema width, order-insensitive value
-comparison (columns sorted by name, rows sorted)."""
+comparison (columns sorted by name, rows sorted).
+
+Stricter than the round-1 version (whose ``%.9g`` normalization masked the
+j3 DECIMAL-vs-DOUBLE driver hash mismatch): cells are type-tagged (Decimal /
+float / int / bool compare as distinct families, as pandas dtype hashing
+does in the driver), floats compare at full shortest-round-trip precision,
+and nested/unhashable cells (list/dict/set/tuple/Row) are hard errors — the
+driver's pandas canonicalizer cannot hash them."""
 
 from __future__ import annotations
 
 import importlib.util
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -18,10 +26,24 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def norm_cell(v):
+    if v is None:
+        return "\x00null"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, (list, dict, set, tuple, bytearray)):
+        raise TypeError(
+            f"nested/unhashable cell type {type(v).__name__!r} — the driver's "
+            "pandas canonicalizer errors on these; flatten (to_json / "
+            "string-serialize) before registering"
+        )
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
 
 
@@ -64,6 +86,14 @@ def main(only: list[str] | None = None):
             continue
         sql = oracles.get(name)
         if sql is None:
+            # The driver canonicalizes the Spark side even without an oracle
+            # (round-1 a2 erred this way) — so nested cells fail rows-only too.
+            try:
+                df_key_rows(scols, srows)
+            except TypeError as e:
+                failures.append((name, f"rows-only canonicalize: {e}"))
+                print(f"✗ {name}: {e}")
+                continue
             print(f"~ {name}: rows-only ({len(srows)} rows)")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
@@ -85,8 +115,13 @@ def main(only: list[str] | None = None):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if ok:
-            _, sk = df_key_rows(scols, srows)
-            _, dk = df_key_rows(dcols, drows)
+            try:
+                _, sk = df_key_rows(scols, srows)
+                _, dk = df_key_rows(dcols, drows)
+            except TypeError as e:
+                ok = False
+                sk = dk = []
+                msgs.append(f"canonicalize: {e}")
             if sk != dk:
                 ok = False
                 ndiff = sum(1 for a, b in zip(sk, dk) if a != b)
