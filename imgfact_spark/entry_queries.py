@@ -1152,10 +1152,45 @@ def m6_cluster_representatives(spark, sf_dir):
     return cluster_representatives(g, f, eps=0.35)
 
 
-@_register("j9_messy_swap")  # rows-only: window-lead pairing engine-side
+@_register(
+    "j9_messy_swap",
+    """
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS img_path,
+             CAST(user_id % 4 AS INT) AS cluster_id,
+             event_id,
+             md5(concat_ws(chr(31), '998244353', CAST(event_id AS VARCHAR))) AS h
+      FROM events WHERE event_id < 2000
+    ),
+    ext AS (
+      SELECT *, 0 AS g FROM base
+      UNION ALL
+      SELECT *, 1 AS g
+      FROM (SELECT * FROM base ORDER BY h, img_path, cluster_id LIMIT 32)
+    ),
+    wn AS (
+      SELECT *,
+             list(struct_pack(cl := cluster_id, im := img_path))
+               OVER (ORDER BY g, h, img_path, cluster_id
+                     ROWS BETWEEN 1 FOLLOWING AND 32 FOLLOWING) AS cands
+      FROM ext
+    )
+    SELECT coalesce(list_filter(cands, x -> x.cl <> cluster_id)[1].im,
+                    img_path) AS img_path,
+           cluster_id, event_id, img_path AS img_path_orig
+    FROM wn WHERE g = 0
+    """,
+)
 def j9_messy_swap(spark, sf_dir):
-    """J9: cluster-aware deterministic image swap
-    (messy_prepare_data.py:54-73)."""
+    """J9+O6: cluster-aware deterministic image swap
+    (messy_prepare_data.py:54-73).
+
+    The oracle computes the single global cyclic window form; the operator
+    computes the identical answer via hash-range buckets + head exchange
+    (no single-partition window).  ``target_bucket_rows=256`` forces the
+    multi-bucket path even at sf0.01 so the driver certifies the
+    distributed construction, not the degenerate B=1 case.
+    """
     from imgfact_spark.operators.messy_swap import messy_swap
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -1164,7 +1199,7 @@ def j9_messy_swap(spark, sf_dir):
         F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("cluster_id"),
         "event_id",
     )
-    return messy_swap(df)
+    return messy_swap(df, key_cols=["event_id"], target_bucket_rows=256)
 
 
 @_register(

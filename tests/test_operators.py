@@ -118,3 +118,70 @@ def test_messy_swap_deterministic(spark):
     a = sorted(map(tuple, messy_swap(df).collect()))
     b = sorted(map(tuple, messy_swap(df.repartition(7)).collect()))
     assert a == b
+
+
+def _brute_messy_swap(rows, seed=998244353, max_scan=32):
+    """Independent oracle: single global cyclic scan over the md5 order."""
+    import hashlib
+
+    def h(rid):
+        return hashlib.md5(f"{seed}\x1f{rid}".encode()).hexdigest()
+
+    seq = sorted(rows, key=lambda r: (h(r[2]), r[0], r[1]))
+    n = len(seq)
+    out = {}
+    for i, (img, cl, rid) in enumerate(seq):
+        got = img
+        for j in range(1, max_scan + 1):
+            nimg, ncl, _ = seq[(i + j) % n]
+            if ncl != cl:
+                got = nimg
+                break
+        out[rid] = got
+    return out
+
+
+def test_messy_swap_matches_global_cyclic_oracle(spark):
+    """Bucketed (B>1) construction == the brute-force global cyclic scan,
+    including wrap-around for the tail rows."""
+    rows = [(f"img{i}", i % 5, i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    got = {
+        r["row_id"]: r["img_path"]
+        for r in messy_swap(
+            df, key_cols=["row_id"], target_bucket_rows=200
+        ).collect()
+    }
+    assert got == _brute_messy_swap(rows)
+
+
+def test_messy_swap_long_same_cluster_run_falls_back_to_self(spark):
+    """A run longer than max_scan of one cluster: rows deep inside the run
+    cannot see a cross-cluster partner and keep their own image (the
+    reference's give-up branch) — but single-cluster-only inputs are all
+    self."""
+    rows = [(f"img{i}", 0, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    out = messy_swap(df, key_cols=["row_id"], max_scan=8).collect()
+    assert all(r["img_path"] == r["img_path_orig"] for r in out)
+
+
+def test_messy_swap_wraparound_tail_finds_head_partner(spark):
+    """Two clusters, two rows: with the cyclic wrap each row must take the
+    other's image — the round-1 implementation left the tail row on self."""
+    rows = [("imgA", 0, 1), ("imgB", 1, 2)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    out = {r["row_id"]: r["img_path"] for r in messy_swap(df, key_cols=["row_id"]).collect()}
+    assert out == {1: "imgB", 2: "imgA"}
+
+
+def test_messy_swap_plan_has_no_global_window(spark):
+    """The multi-bucket plan must not contain a single-partition window
+    (WindowExec with an empty partition spec shows as 'Window [... ORDER BY'
+    without partition columns after a SinglePartition exchange)."""
+    rows = [(f"img{i}", i % 3, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "img_path string, cluster_id int, row_id int")
+    plan = messy_swap(
+        df, key_cols=["row_id"], target_bucket_rows=200
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
