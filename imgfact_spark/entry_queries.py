@@ -1419,13 +1419,39 @@ def ep_masked_inputs(spark, sf_dir):
     return evalprep.masked_inputs(pairs, r2d, predict="o")
 
 
+_SPLIT_T1 = format(int(0.7 * 16**15), "015x")
+_SPLIT_T2 = format(int((0.7 + 0.15) * 16**15), "015x")
+
+
 @_register(
     "ep_split_sets_sizes",
-    None,  # rows-only: split uses engine-side xxhash64
+    f"""
+    WITH pairs AS (
+      SELECT CAST(user_id AS VARCHAR) AS s, event_type AS p,
+             CAST(user_id % 100 AS VARCHAR) AS o,
+             CAST(event_id AS VARCHAR) AS img_path
+      FROM events WHERE event_id < 5000
+    ),
+    tagged AS (
+      SELECT CASE
+               WHEN substr(md5(concat_ws(chr(31), '42', s, p, o, img_path)), 1, 15)
+                    < '{_SPLIT_T1}' THEN 'train'
+               WHEN substr(md5(concat_ws(chr(31), '42', s, p, o, img_path)), 1, 15)
+                    < '{_SPLIT_T2}' THEN 'dev'
+               ELSE 'test'
+             END AS split
+      FROM pairs
+    )
+    SELECT split, COUNT(*) AS n FROM tagged GROUP BY split
+    """,
 )
 def ep_split_sets_sizes(spark, sf_dir):
     """Deterministic train/dev/test split (evalprep.split_sets) — emits the
-    per-split sizes (disjoint + covering asserted in tests/test_evalprep.py)."""
+    per-split sizes (disjoint + covering asserted in tests/test_evalprep.py).
+    The split key is an md5 hex prefix vs weight-threshold hex strings, so
+    the DuckDB oracle reproduces the exact membership, not just the rows."""
+    from functools import reduce
+
     from imgfact_spark import evalprep
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
@@ -1437,8 +1463,11 @@ def ep_split_sets_sizes(spark, sf_dir):
         F.col("event_id").cast("string").alias("img_path"),
     )
     sets = evalprep.split_sets(pairs)
-    rows = [(k, v.count()) for k, v in sets.items()]
-    return spark.createDataFrame(rows, "split string, n long")
+    parts = [
+        v.groupBy().agg(F.count("*").alias("n")).select(F.lit(k).alias("split"), "n")
+        for k, v in sets.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 @_register(

@@ -17,11 +17,12 @@ module wires them into the same products as DataFrame transforms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from imgfact_spark.operators.balance import oversample_balance
 from imgfact_spark.operators.messy_swap import messy_swap
+from imgfact_spark.operators.zip_join import with_position
 
 MASK = "[MASK]"
 
@@ -29,11 +30,13 @@ MASK = "[MASK]"
 def build_pairs(groundings: DataFrame) -> DataFrame:
     """→ (line_no, s, p, o, img_path): one row per grounded image, ordered
     deterministically (the fixture files' line order becomes an explicit
-    column — SURVEY.md §7 hard part 3)."""
-    w = Window.orderBy("s", "p", "o", "img_path")
-    return (
-        groundings.select("s", "p", "o", F.col("media_ref").alias("img_path"))
-        .withColumn("line_no", F.row_number().over(w) - 1)
+    column — SURVEY.md §7 hard part 3).  Positions are minted with the
+    distributed partition-offset scheme (operators/zip_join.with_position),
+    not a global window — safe over the full groundings table."""
+    return with_position(
+        groundings.select("s", "p", "o", F.col("media_ref").alias("img_path")),
+        order_by=["s", "p", "o", "img_path"],
+        pos_col="line_no",
     )
 
 
@@ -53,8 +56,9 @@ def target_label_ids(pairs: DataFrame) -> DataFrame:
         .groupBy("entity")
         .agg(F.min("_ord").alias("_first"))
     )
-    w = Window.orderBy("_first", "entity")
-    return firsts.select("entity", (F.row_number().over(w) - 1).alias("label_id"))
+    return with_position(
+        firsts, order_by=["_first", "entity"], pos_col="label_id"
+    ).select("entity", F.col("label_id").cast("int").alias("label_id"))
 
 
 def masked_inputs(
@@ -119,12 +123,22 @@ def split_sets(
 ) -> dict[str, DataFrame]:
     """Deterministic train/dev/test split by seeded hash of the pair key
     (replaces the reference's pre-split fixture files; disjoint + covering
-    by construction)."""
-    u = F.pmod(F.xxhash64(F.lit(seed), "s", "p", "o", "img_path"), F.lit(10_000)) / 10_000.0
-    t1, t2 = weights[0], weights[0] + weights[1]
+    by construction).
+
+    The hash is the md5 hex prefix compared against weight thresholds
+    rendered as 15-hex-digit strings — a pure string comparison that DuckDB
+    reproduces verbatim (the repo's cross-engine seeded primitive), unlike
+    the round-1 xxhash64 variant which only Spark could compute.
+    """
+    key = F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(str(seed)), "s", "p", "o", "img_path")),
+        1, 15,
+    )
+    t1 = format(int(weights[0] * 16**15), "015x")
+    t2 = format(int((weights[0] + weights[1]) * 16**15), "015x")
     tagged = pairs.withColumn(
         "_split",
-        F.when(u < t1, "train").when(u < t2, "dev").otherwise("test"),
+        F.when(key < t1, "train").when(key < t2, "dev").otherwise("test"),
     )
     return {
         name: tagged.filter(F.col("_split") == name).drop("_split")

@@ -96,6 +96,88 @@ def brute_force_topk(
     )
 
 
+def _table_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables*n_planes, dim) plane matrix; table t's block is exactly
+    ``RandomState(seed+t).standard_normal((n_planes, dim))`` so multi-table
+    signatures are bit-identical to per-table calls."""
+    return np.vstack(
+        [
+            np.random.RandomState(seed + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    ).astype("float64")
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_tables: int = 1,
+    seed: int = 42,
+    out_col: str = "lsh_sigs",
+    method: str = "auto",
+) -> DataFrame:
+    """Random-hyperplane (SRP) signatures for ALL ``n_tables`` hash tables
+    in ONE pass over ``df``: ``out_col`` is an ``array<long>`` of length
+    ``n_tables`` where element t's bit i = sign(v · h_{t,i}).
+
+    One projection (one matmul / one expression tree) instead of n_tables
+    separate scans — callers explode the array, so the corpus is read once
+    regardless of table count.  Two execution paths with identical results:
+
+      * ``column`` — JVM-side zip_with/aggregate per plane.  No Python, no
+        shuffle; fine for a handful of planes × small dim, but codegen cost
+        grows as n_tables·n_planes·dim expressions per row.
+      * ``pandas`` — one Arrow-batched pandas UDF doing a single numpy
+        ``(batch, dim) @ (dim, n_tables*n_planes)`` matmul per batch — the
+        vectorized model-kernel shape (BLAS, zero per-row Python).
+
+    ``auto`` picks pandas when n_tables*n_planes*dim ≥ 512.
+    """
+    planes = _table_planes(dim, n_planes, n_tables, seed)
+    if method == "auto":
+        method = "pandas" if n_tables * n_planes * dim >= 512 else "column"
+
+    if method == "column":
+        sigs = []
+        for t in range(n_tables):
+            sig = F.lit(0).cast("long")
+            for i in range(n_planes):
+                plane = F.array(
+                    *[F.lit(float(x)) for x in planes[t * n_planes + i]]
+                )
+                dot = F.aggregate(
+                    F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                sig = sig.bitwiseOR(
+                    F.when(
+                        dot > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            sigs.append(sig)
+        return df.withColumn(out_col, F.array(*sigs))
+
+    planes_t = planes.T  # (dim, n_tables*n_planes)
+    nt, npl = n_tables, n_planes
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack(v.to_numpy())  # (batch, dim) float
+        bits = mat.astype("float64") @ planes_t > 0  # (batch, nt*npl)
+        out = np.zeros((len(v), nt), dtype=np.int64)
+        for t in range(nt):
+            for i in range(npl):
+                out[:, t] |= bits[:, t * npl + i].astype(np.int64) << i
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, sig_udf(F.col(vec_col)))
+
+
 def hyperplane_signature(
     df: DataFrame,
     vec_col: str,
@@ -105,56 +187,10 @@ def hyperplane_signature(
     out_col: str = "lsh_sig",
     method: str = "auto",
 ) -> DataFrame:
-    """Random-hyperplane (SRP) signature: bit i = sign(v · h_i).
-
-    Hyperplanes are a deterministic seeded numpy matrix.  Two execution
-    paths with identical results:
-
-      * ``column`` — JVM-side zip_with/aggregate per plane.  No Python, no
-        shuffle; fine for a handful of planes × small dim, but codegen cost
-        grows as n_planes·dim expressions per row.
-      * ``pandas`` — one Arrow-batched pandas UDF doing a single numpy
-        ``(batch, dim) @ (dim, n_planes)`` matmul per batch — the vectorized
-        model-kernel shape (BLAS, zero per-row Python).  Wins from a few
-        hundred multiply-adds per row up.
-
-    ``auto`` picks pandas when n_planes*dim ≥ 512.
-    """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim)).astype("float64")
-    if method == "auto":
-        method = "pandas" if n_planes * dim >= 512 else "column"
-
-    if method == "column":
-        sig = F.lit(0).cast("long")
-        for i in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig.bitwiseOR(
-                F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        return df.withColumn(out_col, sig)
-
-    planes_t = planes.T  # (dim, n_planes)
-
-    @F.pandas_udf("long")
-    def sig_udf(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        mat = np.vstack(v.to_numpy())  # (batch, dim) float
-        bits = mat.astype("float64") @ planes_t > 0  # (batch, n_planes)
-        out = np.zeros(len(v), dtype=np.int64)
-        for i in range(bits.shape[1]):
-            out |= bits[:, i].astype(np.int64) << i
-        return pd.Series(out)
-
-    return df.withColumn(out_col, sig_udf(F.col(vec_col)))
+    """Single-table SRP signature (see hyperplane_signatures)."""
+    return hyperplane_signatures(
+        df, vec_col, dim, n_planes, 1, seed, "_sigs1", method
+    ).withColumn(out_col, F.col("_sigs1")[0]).drop("_sigs1")
 
 
 def lsh_topk(
@@ -171,19 +207,25 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
-    on candidates only."""
+    on candidates only.
+
+    All table signatures are emitted in one projection and exploded to
+    (table, sig) rows, so the corpus is scanned ONCE regardless of
+    ``n_tables`` (round-1 looped n_tables separate scans)."""
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
-    cand = None
-    for t in range(n_tables):
-        ct = hyperplane_signature(c, vec_col, dim, n_planes, seed + t, f"_sig")
-        qt = hyperplane_signature(
-            q.select(query_id_col, F.col("_qvec").alias(vec_col)), vec_col, dim,
-            n_planes, seed + t, "_sig",
-        ).select(query_id_col, "_sig")
-        hits = ct.join(F.broadcast(qt), "_sig").select(query_id_col, id_col, vec_col)
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates([query_id_col, id_col])
+    cexp = hyperplane_signatures(c, vec_col, dim, n_planes, n_tables, seed).select(
+        id_col, vec_col, F.posexplode("lsh_sigs").alias("_t", "_sig")
+    )
+    qexp = hyperplane_signatures(
+        q.select(query_id_col, F.col("_qvec").alias(vec_col)),
+        vec_col, dim, n_planes, n_tables, seed,
+    ).select(query_id_col, F.posexplode("lsh_sigs").alias("_t", "_sig"))
+    cand = (
+        cexp.join(F.broadcast(qexp), ["_t", "_sig"])
+        .select(query_id_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
     scored = (
         cand.join(F.broadcast(q), query_id_col)
         .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
@@ -204,17 +246,27 @@ def cosine_neardup_pairs(
     n_tables: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: bucket self-join per LSH table →
-    distinct candidate pairs → exact cosine ≥ threshold."""
+    """Embedding near-duplicate pairs: bucket self-join over (table, sig)
+    → distinct candidate pairs → exact cosine ≥ threshold.
+
+    One corpus scan emits every table's signature (array → posexplode);
+    ``snapshot`` materializes the tiny (id, table, sig) relation so the
+    self-join does not recompute the signatures (round-1 looped n_tables
+    scans of the corpus)."""
     c = ensure_parallelism(corpus.select(id_col, vec_col))
-    cand = None
-    for t in range(n_tables):
-        sig = snapshot(hyperplane_signature(c, vec_col, dim, n_planes, seed + t, "_sig"))
-        l = sig.select(F.col(id_col).alias("id_a"), F.col("_sig"))
-        r = sig.select(F.col(id_col).alias("id_b"), F.col("_sig"))
-        hits = l.join(r, "_sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.distinct()
+    sig = snapshot(
+        hyperplane_signatures(c, vec_col, dim, n_planes, n_tables, seed).select(
+            id_col, F.posexplode("lsh_sigs").alias("_t", "_sig")
+        )
+    )
+    l = sig.select(F.col(id_col).alias("id_a"), "_t", "_sig")
+    r = sig.select(F.col(id_col).alias("id_b"), "_t", "_sig")
+    cand = (
+        l.join(r, ["_t", "_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

@@ -1,4 +1,4 @@
-"""Positional zip join (SURVEY.md §2.3 J5).
+"""Positional zip join (SURVEY.md §2.3 J5) and distributed position minting.
 
 The reference aligns the i-th line of ``{split}.source`` with the i-th line
 of ``{split}.prefix`` by file order (eval_and_app/prepare_data.py:43-59,
@@ -8,13 +8,23 @@ semantics require explicit indexes.
 Two modes:
   * both inputs already carry an index column → plain equi-join (scalable,
     preferred — our ingest materializes ``line_no`` at source);
-  * indexes must be minted → ``zipWithIndex``-free minting via a window over
-    a caller-supplied total ordering (order_by REQUIRED — there is no
-    defensible positional join without a defined order).
+  * indexes must be minted → distributed partition-offset minting (the
+    zipWithIndex shape) over a caller-supplied total ordering (order_by
+    REQUIRED — there is no defensible positional join without a defined
+    order).
 
-The window-minting path single-partitions for the row_number (exact global
-positions), so it is for dimension/fixture-sized inputs; big tables must
-ingest positions at the source (FIXTURES.md §8 ``line_no``).
+Minting is fully distributed: rows are range-partitioned on the order key,
+ranked per range-partition (a window partitioned by the captured
+``spark_partition_id``), and shifted by cumulative per-partition counts
+computed from a tiny (≤ num_partitions rows) count aggregate — no
+single-partition window, no driver collect; the range exchange is reused
+between the rank and the count branches of the plan.  Cost: two balanced
+exchanges of the data (range + pid clustering) — at any scale each
+partition holds ~1/num_partitions of the rows, vs the round-1 global
+window that pulled everything through one task.
+Positions equal ``row_number() over (order by keys) - 1`` exactly when the
+order is total; tied rows receive arbitrary-but-deterministic positions
+within their tie group (same caveat as a global row_number).
 """
 
 from __future__ import annotations
@@ -23,10 +33,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_position(df: DataFrame, order_by: list[Column | str], pos_col: str = "pos") -> DataFrame:
+def with_position(
+    df: DataFrame,
+    order_by: list[Column | str],
+    pos_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mint exact global 0-based positions by ``order_by`` without a
+    single-partition window (SURVEY.md §7 hard part 3)."""
     order = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    w = Window.orderBy(*order)
-    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    rank = F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
+
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # Cumulative offsets via a triangular self-join over <= n tiny rows —
+    # avoids the unpartitioned window a cumsum would otherwise need.
+    a = counts.select(F.col("_pid"))
+    b = counts.select(F.col("_pid").alias("_qid"), "_cnt")
+    offsets = (
+        a.join(F.broadcast(b), F.col("_qid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_off"))
+    )
+
+    return (
+        ranged.withColumn("_rn", rank)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(pos_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
 
 
 def zip_join(

@@ -70,6 +70,38 @@ def test_zip_join_positional(spark):
         assert r["lval"][1:] == r["rval"][1:]  # i-th pairs with i-th
 
 
+def test_with_position_equals_global_sort(spark):
+    """Distributed partition-offset minting == row_number over a global sort,
+    exercised with many range partitions and a skewed key distribution."""
+    import random
+
+    from imgfact_spark.operators.zip_join import with_position
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10**6), i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, payload int").repartition(16)
+    got = {
+        r["payload"]: r["pos"]
+        for r in with_position(df, ["k", "payload"], num_partitions=13).collect()
+    }
+    expect = {
+        payload: pos
+        for pos, (_, payload) in enumerate(sorted(rows))
+    }
+    assert got == expect
+
+
+def test_with_position_plan_has_no_single_partition_exchange(spark):
+    from imgfact_spark.operators.zip_join import with_position
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    plan = (
+        with_position(df, ["k"], num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], "src string, dst string"
