@@ -896,11 +896,42 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@_register("d_minhash_lsh_pairs")  # rows-only: xxhash64 minhash not in DuckDB
+@_register(
+    "d_minhash_lsh_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(t) AS u(s)
+    ),
+    h AS (
+      SELECT doc_id, r.i AS hidx,
+             MIN(('0x' || substr(md5(s || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh, UNNEST(range(0, 32)) AS r(i)
+      GROUP BY doc_id, r.i
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY hidx) AS sig FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             ('0x' || substr(md5(array_to_string(sig[b.b*4+1 : b.b*4+4], ',')), 1, 15))::BIGINT AS bh
+      FROM sig, UNNEST(range(0, 8)) AS b(b)
+    )
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a
+    JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+    GROUP BY a.doc_id, b2.doc_id
+    """,
+)
 def d_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate near-dup pairs (shingle→minhash→band→bucket
-    join).  Non-SQL-expressible (engine-specific hash); driver records a
-    rows-only check; exactness is covered by tests/test_dedup.py."""
+    join).  Uses the md5 cross-engine hash mode so DuckDB replicates the
+    exact signatures and band buckets; the production xxhash64 path is
+    pinned separately by tests/test_dedup.py."""
     from imgfact_spark.operators.dedup import (
         minhash_lsh_dup_pairs,
         minhash_signature,
@@ -909,17 +940,55 @@ def d_minhash_lsh_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     sh = shingle_df(d, "text", "doc_id", n=1)
-    sig = minhash_signature(sh, "doc_id", num_hashes=32)
-    return minhash_lsh_dup_pairs(sig, "doc_id", bands=8, rows_per_band=4)
+    sig = minhash_signature(sh, "doc_id", num_hashes=32, hash_mode="md5")
+    return minhash_lsh_dup_pairs(
+        sig, "doc_id", bands=8, rows_per_band=4, hash_mode="md5"
+    )
 
 
-@_register("d_simhash_pairs")  # rows-only: engine-specific 64-bit hashing
+@_register(
+    "d_simhash_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(t) AS u(s)
+    ),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hv, UNNEST(range(0, 60)) AS b(b)
+      GROUP BY doc_id, b.b
+    ),
+    sim AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+      AND (   ((a.simhash >> 0)  & 65535) = ((b.simhash >> 0)  & 65535)
+           OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+           OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+           OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535))
+    """,
+)
 def d_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (block-permuted Hamming banding)."""
+    """SimHash near-dup pairs (block-permuted Hamming banding).  md5 hash
+    mode → the oracle recomputes the 60-bit simhashes brute-force and
+    applies the same block-collision pigeonhole condition."""
     from imgfact_spark.operators.dedup import simhash64, simhash_dup_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sim = simhash64(d, "text", "doc_id", n=1)
+    sim = simhash64(d, "text", "doc_id", n=1, hash_mode="md5")
     return simhash_dup_pairs(sim, "doc_id", max_hamming=16, blocks=4)
 
 

@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 from imgfact_spark.functions.text import doc_fingerprint
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
+
+def _h64(col, salt: int | None = None, hash_mode: str = "xxhash64") -> Column:
+    """64-bit hash of a string column, optionally salted.
+
+    ``xxhash64`` (default): fastest, JVM-native — the production path.
+    ``md5``: 60-bit value from the md5 hex prefix — the cross-engine seeded
+    primitive; DuckDB computes the identical value as
+    ``('0x' || substr(md5(x || chr(31) || salt), 1, 15))::BIGINT``, which is
+    what the driver-facing dedup queries use for oracle checking.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_mode == "xxhash64":
+        return F.xxhash64(c, F.lit(salt)) if salt is not None else F.xxhash64(c)
+    inp = c if salt is None else F.concat_ws("\x1f", c, F.lit(str(salt)))
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("bigint")
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -60,20 +77,27 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, shingle_col: str = "shingles", num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature as array<long>: for hash i,
-    ``min over shingles of xxhash64(shingle, i)``.
+    ``min over shingles of hash64(shingle, i)``.
 
     Shape: explode shingles → hash-aggregate ``num_hashes`` mins per id.
     Catalyst's partial aggregation computes the mins map-side, so the
     shuffle carries only ``num_hashes`` longs per (id, input-partition) —
     NOT the shingles.  (The no-shuffle alternative — num_hashes nested
     array-transform expressions per row — blows up whole-stage codegen and
-    is ~10× slower in practice.)"""
+    is ~10× slower in practice.)
+
+    ``hash_mode="md5"`` switches to the cross-engine md5-prefix hash so a
+    DuckDB oracle can replicate signatures exactly (driver queries)."""
     ex = df.select(F.col(id_col), F.explode_outer(shingle_col).alias("_sh"))
     aggs = [
-        F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+        F.min(_h64("_sh", i, hash_mode)).alias(f"_h{i}") for i in range(num_hashes)
     ]
     g = ex.groupBy(id_col).agg(*aggs)
     return g.select(
@@ -87,6 +111,7 @@ def minhash_lsh_dup_pairs(
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any full band
     collide.  Returns distinct (id_a < id_b) pairs with the matching band
@@ -102,14 +127,16 @@ def minhash_lsh_dup_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                _h64(
                     F.concat_ws(
                         ",",
                         *[
                             F.element_at("sig", b * rows_per_band + r + 1).cast("string")
                             for r in range(rows_per_band)
                         ],
-                    )
+                    ),
+                    None,
+                    hash_mode,
                 ).alias("bh"),
             )
             for b in range(bands)
@@ -172,16 +199,23 @@ def minhash_dedup(
 # ------------------------------------------------------------------- simhash
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+def simhash64(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over word n-grams: bit b of the result is the sign of
     ``sum over shingles of (hash bit b ? +1 : -1)``.
 
     Same explode → partial-agg shape as minhash_signature: 64 conditional
     sums per id computed map-side, then one projection folds the signs into
-    a single long."""
+    a single long.
+
+    ``hash_mode="md5"`` uses the 60-bit cross-engine md5-prefix hash; bits
+    60-63 are then constant 0 for every document (a 60-bit simhash), which
+    leaves Hamming distances unchanged."""
     ex = ensure_parallelism(df).select(
         F.col(id_col), F.explode_outer(_shingles(text_col, n)).alias("_sh")
-    ).select(F.col(id_col), F.xxhash64("_sh").alias("_h"))
+    ).select(F.col(id_col), _h64("_sh", None, hash_mode).alias("_h"))
     aggs = [
         F.sum(
             F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
