@@ -99,6 +99,73 @@ def test_cluster_representatives(spark):
         assert r["cluster_size"] == 2
 
 
+def test_cluster_diagnostics_silhouette_and_deleted(spark):
+    """A10: n_clusters / n_deleted / silhouette vs an independent
+    brute-force silhouette oracle (cluster.py:115-124,169-182)."""
+    base_a = np.ones(8)
+    base_b = np.concatenate([np.ones(4) * -1, np.ones(4)])
+    feats = {
+        "i0": base_a, "i1": base_a * 1.01,
+        "i2": base_b, "i3": base_b * 0.99,
+        "i4": base_b * 1.02,
+    }
+    g = spark.createDataFrame(
+        [("A", "r", "B", k, 1.0 - 0.1 * i) for i, k in enumerate(sorted(feats))],
+        "s string, p string, o string, media_ref string, score double",
+    )
+    f = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in feats.items()],
+        "media_ref string, features array<float>",
+    )
+    kept = cluster_representatives(g, f, eps=0.25).collect()
+    assert all(r["n_clusters"] == 2 for r in kept)
+    assert all(r["n_deleted"] == 5 - 2 for r in kept)
+
+    # independent silhouette oracle: euclidean, size-1 clusters score 0
+    order = sorted(feats, key=lambda k: (-round(1.0 - 0.1 * sorted(feats).index(k), 9), k))
+    # features are stored as array<float> → quantize through float32 first
+    X = np.vstack([feats[k] for k in order]).astype("float32").astype("float64")
+    labels = np.array([0 if k in ("i0", "i1") else 1 for k in order])
+    import itertools
+
+    def d(a, b):
+        return float(np.linalg.norm(X[a] - X[b]))
+
+    svals = []
+    for i in range(len(order)):
+        same = [j for j in range(len(order)) if labels[j] == labels[i] and j != i]
+        if not same:
+            svals.append(0.0)
+            continue
+        a = sum(d(i, j) for j in same) / len(same)
+        b = min(
+            sum(d(i, j) for j in range(len(order)) if labels[j] == c)
+            / sum(1 for j in range(len(order)) if labels[j] == c)
+            for c in set(labels) - {labels[i]}
+        )
+        svals.append((b - a) / max(a, b))
+    expected = sum(svals) / len(svals)
+    got = kept[0]["silhouette"]
+    assert abs(got - expected) < 1e-9
+
+
+def test_cluster_diagnostics_degenerate_silhouette_nan(spark):
+    """One cluster (all identical) → silhouette is NaN, matching the
+    reference's guard that skips silhouette_score."""
+    g = spark.createDataFrame(
+        [("A", "r", "B", f"m{i}", 1.0) for i in range(3)],
+        "s string, p string, o string, media_ref string, score double",
+    )
+    f = spark.createDataFrame(
+        [(f"m{i}", [1.0] * 4) for i in range(3)],
+        "media_ref string, features array<float>",
+    )
+    kept = cluster_representatives(g, f, eps=0.25).collect()
+    assert len(kept) == 1 and kept[0]["n_clusters"] == 1
+    # pandas NaN converts to SQL NULL on the Arrow boundary
+    assert kept[0]["silhouette"] is None
+
+
 def test_cluster_representatives_partition_invariant(spark):
     rng = np.random.RandomState(3)
     feats = rng.standard_normal((12, 8))
