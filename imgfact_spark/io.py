@@ -224,7 +224,13 @@ def stage(
 
 
 def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:
-    """Order-insensitive content fingerprint of a DataFrame (xor of row hashes).
+    """Order-insensitive content fingerprint of a DataFrame.
+
+    Combines three order-insensitive aggregates over the row hash: count,
+    bit_xor, and a wide-decimal SUM.  xor alone cancels duplicate rows
+    pairwise ({A,A,A,B} == {A,B,B,B}); the multiplicity-sensitive sum
+    (exact in decimal(38,0), order-independent, ANSI-safe — no overflow
+    below ~10^19 rows) breaks that collision class.
 
     Used as the stage input fingerprint for resume-equivalence: same input →
     same fingerprint regardless of partitioning/order.
@@ -233,9 +239,10 @@ def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:
     row = (
         df.select(F.xxhash64(*[F.col(c).cast("string") for c in cs]).alias("h"))
         .agg(
-            F.expr("bit_xor(h)").alias("x"),  # xor: order-insensitive, no overflow (ANSI-safe)
+            F.expr("bit_xor(h)").alias("x"),
             F.count("*").alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
         )
         .collect()[0]
     )
-    return f"{row['n']}:{row['x']}"
+    return f"{row['n']}:{row['x']}:{row['s']}"

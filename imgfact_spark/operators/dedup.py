@@ -188,12 +188,22 @@ def minhash_dedup(
             F.col("id_b").cast("string").alias("dst"),
         )
     )
-    drop = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("_drop_id")
+    # Components are computed over stringified nodes, but the kept
+    # representative is min over the NATIVE id type (consistent with
+    # exact_dedup's F.min) — map nodes back through the corpus ids rather
+    # than trusting the lexicographic component label ("10" < "9").
+    member = df.select(F.col(id_col)).join(
+        comp.select(F.col("node"), F.col("component")),
+        F.col(id_col).cast("string") == F.col("node"),
+        "inner",
     )
-    return df.join(
-        drop, df[id_col].cast("string") == drop["_drop_id"], "left_anti"
+    keep = member.groupBy("component").agg(F.min(id_col).alias("_keep_id"))
+    drop = (
+        member.join(keep, "component")
+        .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(F.col(id_col).alias("_drop_id"))
     )
+    return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")
 
 
 # ------------------------------------------------------------------- simhash

@@ -53,6 +53,22 @@ class PipelineConfig:
     broadcast_entity_dims: bool = True  # hint entity-scaled dims (off at web scale)
 
 
+#: PipelineConfig fields that cannot affect stage CONTENTS (only plan shape
+#: or bookkeeping) — excluded from the stage fingerprint.
+_PLAN_ONLY_FIELDS = ("checkpoint", "lineage_stats", "broadcast_entity_dims")
+
+
+def _config_fingerprint(cfg: PipelineConfig) -> str:
+    import hashlib
+    import json
+    from dataclasses import asdict
+
+    d = asdict(cfg)
+    for k in _PLAN_ONLY_FIELDS:
+        d.pop(k, None)
+    return hashlib.md5(json.dumps(d, sort_keys=True).encode()).hexdigest()[:12]
+
+
 @dataclass
 class PipelineResult:
     kg_triples: DataFrame
@@ -83,7 +99,12 @@ def run_pipeline(
     scans it.  Disable when the input is already a stable table scan.
     """
     cfg = cfg or PipelineConfig()
-    fp = input_fingerprint or fingerprint_df(documents.select("doc_id"))
+    input_fp = input_fingerprint or fingerprint_df(documents.select("doc_id"))
+    # Stage identity = input × config: re-running with changed thresholds /
+    # topk / scoring must NOT resume from tables computed under the old
+    # config.  Plan-only knobs (checkpoint granularity, broadcast hints,
+    # lineage stats) are excluded — they cannot change stage contents.
+    fp = f"{input_fp}:{_config_fingerprint(cfg)}"
     persisted: list[DataFrame] = []
 
     def _stage(name, compute, partition_by=None, shared=False):
@@ -99,7 +120,8 @@ def run_pipeline(
         return df
 
     if materialize_input:
-        documents_stable = stage(store, "documents", fp, lambda: documents, spark)
+        # keyed on the input alone: the source table does not depend on cfg
+        documents_stable = stage(store, "documents", input_fp, lambda: documents, spark)
     else:
         documents_stable = documents
 

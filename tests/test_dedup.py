@@ -74,6 +74,18 @@ def test_minhash_dedup_end_to_end(spark):
     assert len(ids) <= 8
 
 
+def test_minhash_dedup_representative_is_native_min(spark):
+    """Numeric ids 9 and 10 as near-dups: the representative must be the
+    typed min (9), not the lexicographic-min string ('10' < '9')."""
+    text = "the exact same duplicated sentence repeated for shingles again and again"
+    df = spark.createDataFrame(
+        [(9, text), (10, text), (50, "a completely different document about other things entirely")],
+        "doc_id long, text string",
+    )
+    ids = sorted(r["doc_id"] for r in minhash_dedup(df, "text", "doc_id", n=2).collect())
+    assert ids == [9, 50]
+
+
 def test_simhash_hamming_pairs(spark):
     df = _corpus(spark)
     sim = simhash64(df, "text", "doc_id", n=1)

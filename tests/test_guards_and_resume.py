@@ -100,8 +100,39 @@ def test_changed_input_fingerprint_invalidates(spark, small_run):
     res2 = run_pipeline(
         spark, docs2, r2d, ents, store, cfg, input_fingerprint="t:90"
     )
-    assert store.lineage("kg_triples")["input_fingerprint"] == "t:90"
+    # stage fingerprint = input fp + config hash
+    assert store.lineage("kg_triples")["input_fingerprint"].startswith("t:90:")
     assert res2.kg_triples.count() >= len(triples80)
+
+
+def test_changed_config_invalidates_resume(spark, small_run):
+    """Re-running with a different content-affecting config must recompute,
+    not silently return tables computed under the old config."""
+    import dataclasses
+
+    docs, kb, ents, r2d, store, cfg, res, triples80 = small_run
+    before = store.lineage("groundings")["committed_at"]
+    cfg2 = dataclasses.replace(cfg, topk=max(1, cfg.topk - 1))
+    run_pipeline(spark, docs, r2d, ents, store, cfg2, input_fingerprint="t:80")
+    after = store.lineage("groundings")["committed_at"]
+    assert before != after, "changed config reused stale stage tables"
+
+
+def test_plan_only_config_does_not_invalidate(spark, small_run):
+    """Plan-shape knobs (broadcast hints, lineage stats) must NOT invalidate
+    committed stages — contents are identical."""
+    import dataclasses
+
+    docs, kb, ents, r2d, store, cfg, res, triples80 = small_run
+    # (re-)establish the store under cfg's fingerprint — a sibling test may
+    # have overwritten tables with a different config hash
+    run_pipeline(spark, docs, r2d, ents, store, cfg, input_fingerprint="t:80")
+    before = store.lineage("groundings")["committed_at"]
+    cfg2 = dataclasses.replace(
+        cfg, broadcast_entity_dims=not cfg.broadcast_entity_dims
+    )
+    run_pipeline(spark, docs, r2d, ents, store, cfg2, input_fingerprint="t:80")
+    assert store.lineage("groundings")["committed_at"] == before
 
 
 def test_lineage_df(spark, small_run):
