@@ -10,3 +10,10 @@ from imgfact_spark.sources.tsv import (  # noqa: F401
     write_tsv,
     audit_missing_partitions,
 )
+from imgfact_spark.sources.tfrecord import (  # noqa: F401
+    land_tfrecords_to_parquet,
+    read_tfrecord_examples,
+    write_tfrecord_file,
+    encode_example,
+)
+from imgfact_spark.sources.report import write_cluster_report  # noqa: F401

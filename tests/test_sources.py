@@ -150,3 +150,88 @@ def test_reads_actual_reference_fixtures(spark):
 
     triples = read_triples_tsv(spark, f"{REF}/data.source")
     assert triples.count() == 12005
+
+
+def test_tfrecord_roundtrip_and_landing(spark, tmp_path):
+    """S6: write CPgen-shaped tf.Example TFRecords with the pure-Python
+    encoder, land them to parquet through the distributed reader, verify
+    contents and crc checking."""
+    from imgfact_spark.sources.tfrecord import (
+        CPGEN_FEATURES,
+        encode_example,
+        iter_tfrecords,
+        land_tfrecords_to_parquet,
+        parse_example_bytes_features,
+        write_tfrecord_file,
+    )
+
+    examples = [
+        {
+            "pos_sent": f"sentence {i}".encode(),
+            "neg_sents": f"neg {i}|neg {i+1}".encode(),
+            "pair": f"s{i}\to{i}".encode(),
+            "relation": f"rel{i % 3}".encode(),
+            "so": f"s{i} o{i}".encode(),
+            "fileno": f"{i:03d}".encode(),
+        }
+        for i in range(25)
+    ]
+    f1 = str(tmp_path / "part-0.tfrecord")
+    f2 = str(tmp_path / "part-1.tfrecord")
+    write_tfrecord_file(f1, [encode_example(e) for e in examples[:13]])
+    write_tfrecord_file(f2, [encode_example(e) for e in examples[13:]])
+
+    # pure-python roundtrip (no Spark): framing + proto parse
+    with open(f1, "rb") as fh:
+        payloads = list(iter_tfrecords(fh.read()))
+    assert len(payloads) == 13
+    assert parse_example_bytes_features(payloads[0]) == examples[0]
+
+    dest = str(tmp_path / "landed")
+    landed = land_tfrecords_to_parquet(spark, str(tmp_path / "*.tfrecord"), dest)
+    assert landed.count() == 25
+    assert set(landed.columns) == {"file", "record_no"} | set(CPGEN_FEATURES)
+    got = {r["fileno"]: r["pos_sent"] for r in landed.collect()}
+    assert got["007"] == "sentence 7"
+
+    # corruption is detected
+    blob = bytearray(open(f1, "rb").read())
+    blob[20] ^= 0xFF
+    corrupt = str(tmp_path / "bad.tfrecord")
+    open(corrupt, "wb").write(bytes(blob))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        list(iter_tfrecords(bytes(blob)))
+
+
+def test_cluster_report_sink(spark, tmp_path):
+    """S13: markdown gallery + stats artifact from representatives
+    (cluster.py:108-128 shape)."""
+    import numpy as np
+
+    from imgfact_spark.operators.clustering import cluster_representatives
+    from imgfact_spark.sources.report import write_cluster_report
+
+    base_a, base_b = np.ones(4), np.array([-1.0, -1.0, 1.0, 1.0])
+    g = spark.createDataFrame(
+        [("A", "r", "B", m, s) for m, s in
+         [("i0", 0.9), ("i1", 0.8), ("i2", 0.7)]],
+        "s string, p string, o string, media_ref string, score double",
+    )
+    f = spark.createDataFrame(
+        [("i0", [float(x) for x in base_a]),
+         ("i1", [float(x) for x in base_a * 1.01]),
+         ("i2", [float(x) for x in base_b])],
+        "media_ref string, features array<float>",
+    )
+    kept = cluster_representatives(g, f, eps=0.25)
+    paths = write_cluster_report(kept, str(tmp_path / "report"))
+    gallery = open(paths["gallery"]).read()
+    stats = open(paths["stats"]).read()
+    assert "A\tr\tB" in gallery
+    assert '<img src="i0" height="100"/>' in gallery
+    assert '<img src="i2" height="100"/>' in gallery
+    assert '<img src="i1"' not in gallery  # i1 clustered with i0, not kept
+    assert "2 1" in stats  # n_clusters=2, deleted=1
+    assert "avg_cluster_num: 2.0000 deleted: 1.0000" in stats
