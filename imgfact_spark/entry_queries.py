@@ -1044,41 +1044,238 @@ def s_cosine_topk(spark, sf_dir):
     ).select("query_id", "vec_id", "cosine", "rank")
 
 
-@_register("s_lsh_topk")  # rows-only: hyperplane signatures engine-side
+def _lsh_oracle_sql() -> str:
+    """DuckDB oracle for s_lsh_topk: the seeded hyperplanes are embedded as
+    double literals (repr round-trips exactly); signatures, bucket matching,
+    cosine and top-5 mirror operators/similarity.lsh_topk with sequential
+    (list_dot_product-identical) float math."""
+    from imgfact_spark.operators.similarity import _table_planes
+
+    planes = _table_planes(64, 8, 4, 42)
+
+    def sig_expr(vcol: str, t: int) -> str:
+        terms = []
+        for i in range(8):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[t * 8 + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    c_sigs = ",\n             ".join(
+        f"({sig_expr('v', t)}) AS sig{t}" for t in range(4)
+    )
+    q_sigs = ",\n             ".join(
+        f"({sig_expr('v', t)}) AS sig{t}" for t in range(4)
+    )
+    bucket_match = " OR ".join(f"c.sig{t} = q.sig{t}" for t in range(4))
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {c_sigs}
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v,
+             {q_sigs}
+      FROM embeddings WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_dot_product(c.v, q.v)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+      FROM c JOIN q ON {bucket_match}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """
+
+
+@_register("s_lsh_topk")
 def s_lsh_topk(spark, sf_dir):
     """Approximate ANN top-k via random-hyperplane LSH bucketing — the
     100 TB-scale path; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py.  The driver query forces method='column'
+    (sequential JVM dots == DuckDB list_dot_product) and double-cast
+    embeddings so the generated-literal oracle is bit-exact; the BLAS
+    pandas path is pinned equal by tests."""
     from imgfact_spark.operators.similarity import lsh_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, q, dim=64, k=5, n_planes=8, n_tables=4)
+    return lsh_topk(e, q, dim=64, k=5, n_planes=8, n_tables=4, method="column")
 
 
-@_register("kg_construct_e2e")  # rows-only: full pipeline on synth docs
+ORACLES["s_lsh_topk"] = _lsh_oracle_sql()
+
+
+_E2E_RELS = [
+    ("banks_with", "banks with"),
+    ("resides_in", "resides in"),
+    ("trades_at", "trades at"),
+]
+_MD5U = (
+    "((('0x' || substr(md5({expr}), 1, 15))::BIGINT % 1000000)"
+    " / CAST(1000000 AS DOUBLE))"
+)
+
+
+def _e2e_oracle_sql() -> str:
+    """Full-pipeline oracle: reconstructs the interleaved-doc corpus from
+    customer×nation with the same expressions as the Spark query, then
+    derives the expected kg_groundings directly — planted triples → vcc
+    entity gate → grounding join → md5 scores → thresholds → per-triple
+    top-K.  Every hash is the cross-engine md5 primitive (hash_mode='md5'
+    pipeline run)."""
+    vcc = _MD5U.format(expr="'vcc|' || e")
+    pair = _MD5U.format(
+        expr="'pair|' || s || '|' || p || '|' || o || '|' || media_ref"
+    )
+    ent_s = _MD5U.format(expr="'ent|' || s || '|' || media_ref")
+    ent_o = _MD5U.format(expr="'ent|' || o || '|' || media_ref")
+    case_p = (
+        "CASE CAST(c_custkey % 3 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{rel}'" for i, (rel, _) in enumerate(_E2E_RELS[:2])
+        )
+        + f" ELSE '{_E2E_RELS[2][0]}' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT 'd' || c_custkey AS doc_id,
+             'cust_' || (c_custkey % 97) AS s,
+             {case_p} AS p,
+             'nat_' || n_nationkey AS o,
+             'cust ' || (c_custkey % 97) AS s_sp,
+             'nat ' || n_nationkey AS o_sp,
+             1 + CAST(c_custkey % 3 AS INT) AS g
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey <= 400
+    ),
+    media AS (
+      SELECT doc_id, s, p, o,
+             'img://TL001/' || p || '/' || s_sp || ' ' || o_sp || '/'
+               || i.i || '.jpg' AS media_ref
+      FROM base, UNNEST(range(1, g + 1)) AS i(i)
+    ),
+    ents AS (SELECT DISTINCT s AS e FROM base
+             UNION SELECT DISTINCT o AS e FROM base),
+    vcc AS (SELECT e FROM ents WHERE {vcc} >= 0.02),
+    scored AS (
+      SELECT doc_id, s, p, o, media_ref,
+             CAST(0.20 AS DOUBLE) + CAST(0.80 AS DOUBLE) * {pair} AS score,
+             CAST(0.75 AS DOUBLE) + CAST(0.25 AS DOUBLE) * {ent_s} AS score_s,
+             CAST(0.75 AS DOUBLE) + CAST(0.25 AS DOUBLE) * {ent_o} AS score_o
+      FROM media
+      WHERE s IN (SELECT e FROM vcc) AND o IN (SELECT e FROM vcc)
+    ),
+    ranked AS (
+      SELECT s, p, o, media_ref, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s, p, o
+                   ORDER BY score DESC, media_ref, doc_id) AS INT) AS rank
+      FROM scored
+      WHERE score > 0.4 AND score_s >= 0.87 AND score_o >= 0.87
+    )
+    SELECT s, p, o, media_ref, doc_id, score, rank, 'TL001' AS subset
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@_register("kg_construct_e2e")
 def kg_construct_e2e(spark, sf_dir):
-    """Flagship: full KG construction on a 150-doc synthesized interleaved
-    corpus (the BASELINE.json input shape).  Correctness vs the independent
-    pandas oracle is asserted in tests/test_pipeline_e2e.py."""
+    """Flagship: the FULL KG-construction pipeline (spans → mention
+    detection → entity linking → visual gates → whitelist → grounding join
+    → scoring → thresholds → per-triple top-K → canonical rewrite), driven
+    end-to-end over an interleaved-doc corpus built deterministically from
+    the driver's customer×nation tables, in hash_mode='md5' so the DuckDB
+    oracle replicates every gate and score exactly.  Returns kg_groundings.
+
+    The synth-corpus pipeline path stays covered by __spark_entry__.entry()
+    (driver smoke) and tests/test_pipeline_e2e.py (independent pandas
+    oracle)."""
     import tempfile
 
-    from imgfact_spark import synth
     from imgfact_spark.io import TableStore
     from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
 
-    docs = synth.synth_documents(spark, 150)
-    kb = synth.kb_df(spark)
-    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
-    r2d = synth.rel2desc_df(spark)
-    store = TableStore(tempfile.mkdtemp(prefix="imgfact_q_"))
-    res = run_pipeline(
-        spark, docs, r2d, ents, store, PipelineConfig(),
-        input_fingerprint="synth:42:150",
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("c_custkey")
+    p_expr = F.element_at(
+        F.array(*[F.lit(r) for r, _ in _E2E_RELS]),
+        F.pmod(key, F.lit(3)).cast("int") + 1,
     )
-    return res.kg_triples.select("s", "p", "o", "n_docs", "subset")
+    phrase = F.element_at(
+        F.array(*[F.lit(ph) for _, ph in _E2E_RELS]),
+        F.pmod(key, F.lit(3)).cast("int") + 1,
+    )
+    base = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.concat(F.lit("d"), key.cast("string")).alias("doc_id"),
+            F.concat(F.lit("cust "), F.pmod(key, F.lit(97)).cast("string")).alias("s_sp"),
+            p_expr.alias("p"),
+            phrase.alias("phrase"),
+            F.concat(F.lit("nat "), F.col("n_nationkey").cast("string")).alias("o_sp"),
+            (F.pmod(key, F.lit(3)).cast("int") + 1).alias("g"),
+        )
+    )
+    text = F.concat("s_sp", F.lit(" "), "phrase", F.lit(" "), "o_sp", F.lit("."))
+    null_s = F.lit(None).cast("string")
+    text_span = F.struct(
+        F.lit("text").alias("kind"), text.alias("text"),
+        null_s.alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    media_span = lambda i: F.struct(
+        F.lit("media").alias("kind"), null_s.alias("text"),
+        F.concat(
+            F.lit("img://TL001/"), "p", F.lit("/"), "s_sp", F.lit(" "), "o_sp",
+            F.lit(f"/{i}.jpg"),
+        ).alias("media_ref"),
+        F.lit(100 + i).alias("offset"),
+    )
+    spans = F.concat(
+        F.array(text_span),
+        F.filter(
+            F.array(*[media_span(i) for i in (1, 2, 3)]),
+            lambda x, i: i < F.col("g"),
+        ),
+    )
+    docs = base.select("doc_id", spans.alias("spans"))
+
+    kb = base.select(
+        F.translate("s_sp", " ", "_").alias("entity")
+    ).unionByName(base.select(F.translate("o_sp", " ", "_").alias("entity"))).distinct()
+    r2d = spark.createDataFrame(
+        [(rel, "{} " + ph + " {}.") for rel, ph in _E2E_RELS],
+        "p string, template string",
+    )
+    store = TableStore(tempfile.mkdtemp(prefix="imgfact_e2e_"))
+    res = run_pipeline(
+        spark, docs, r2d, kb, store,
+        PipelineConfig(
+            min_evidence=1, vcc_threshold=0.02, relation_min_total=0,
+            relation_min_count=0, checkpoint="final", lineage_stats=False,
+            hash_mode="md5",
+        ),
+        input_fingerprint="e2e:driver:400",
+    )
+    return res.kg_groundings.select(
+        "s", "p", "o", "media_ref", "doc_id", "score", "rank", "subset"
+    )
+
+
+ORACLES["kg_construct_e2e"] = _e2e_oracle_sql()
 
 
 # =========================================================================

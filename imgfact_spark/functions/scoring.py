@@ -116,9 +116,20 @@ def det_score_py(*parts: "pd.Series | np.ndarray | list") -> pd.Series:
     return (vals / _MOD).astype("float64")
 
 
-def det_score_col(*cols: Column | str) -> Column:
+def det_score_col(*cols: Column | str, hash_mode: str = "xxhash64") -> Column:
     """Deterministic score in [0,1) as a pure Column expression
-    (``pmod(xxhash64(concat_ws('|', ...)), 1e6) / 1e6``)."""
+    (``pmod(hash64(concat_ws('|', ...)), 1e6) / 1e6``).
+
+    ``hash_mode="md5"`` derives the 60-bit hash from the md5 hex prefix —
+    the cross-engine seeded primitive: DuckDB computes the identical score
+    as ``('0x' || substr(md5(concat_ws('|', ...)), 1, 15))::BIGINT
+    % 1000000 / CAST(1000000 AS DOUBLE)`` (value is non-negative, so
+    ``%`` == pmod), which makes pipeline runs oracle-checkable end to end.
+    """
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    h = F.xxhash64(F.concat_ws("|", *cs))
+    joined = F.concat_ws("|", *cs)
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(joined)
     return F.pmod(h, F.lit(_MOD)).cast("double") / F.lit(float(_MOD))

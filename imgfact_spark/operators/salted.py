@@ -41,9 +41,12 @@ def salted_count(
         # is a pure function of the distinct column — buckets are disjoint.
         return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))
     # plain count is salt-value-agnostic (sums of partials are associative),
-    # so derive the salt from the row position, NOT row content — hashing
-    # data columns here would defeat column pruning (the scan would read
-    # every column just to compute the salt).
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    # so derive the salt from the task partition id, NOT row content —
+    # hashing data columns here would defeat column pruning (the scan would
+    # read every column just to compute the salt).  spark_partition_id is
+    # stable for a fixed input layout (unlike monotonically_increasing_id,
+    # whose per-row values also encode row order within the partition) and
+    # never feeds a non-algebraic reuse: buckets only carry partial counts.
+    salt = F.pmod(F.spark_partition_id(), F.lit(n_salts))
     partial = df.groupBy(*keys, salt.alias("_salt")).agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").cast("long").alias(count_col))

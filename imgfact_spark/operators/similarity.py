@@ -204,6 +204,7 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
@@ -211,15 +212,19 @@ def lsh_topk(
 
     All table signatures are emitted in one projection and exploded to
     (table, sig) rows, so the corpus is scanned ONCE regardless of
-    ``n_tables`` (round-1 looped n_tables separate scans)."""
+    ``n_tables`` (round-1 looped n_tables separate scans).
+
+    ``method="column"`` forces sequential JVM dot products — bit-identical
+    to DuckDB's list_dot_product, which is what the oracle-checked driver
+    query uses; ``auto``/``pandas`` pick the BLAS kernel for throughput."""
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
-    cexp = hyperplane_signatures(c, vec_col, dim, n_planes, n_tables, seed).select(
-        id_col, vec_col, F.posexplode("lsh_sigs").alias("_t", "_sig")
-    )
+    cexp = hyperplane_signatures(
+        c, vec_col, dim, n_planes, n_tables, seed, method=method
+    ).select(id_col, vec_col, F.posexplode("lsh_sigs").alias("_t", "_sig"))
     qexp = hyperplane_signatures(
         q.select(query_id_col, F.col("_qvec").alias(vec_col)),
-        vec_col, dim, n_planes, n_tables, seed,
+        vec_col, dim, n_planes, n_tables, seed, method=method,
     ).select(query_id_col, F.posexplode("lsh_sigs").alias("_t", "_sig"))
     cand = (
         cexp.join(F.broadcast(qexp), ["_t", "_sig"])

@@ -10,7 +10,7 @@ single-threaded so its sort is stable; Spark's is not unless we say so).
 
 Scale note: ``row_number`` over (keys) is a single shuffle on the group keys;
 AQE skew-split does not apply to windows, so for pathological key skew pass
-``prefilter_factor`` to cheaply pre-prune with a salted partial top-K before
+``prefilter_salt`` to cheaply pre-prune with a salted partial top-K before
 the exact window (two-phase top-K: per (keys, salt) keep K, then exact).
 """
 

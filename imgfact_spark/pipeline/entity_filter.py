@@ -41,17 +41,23 @@ def visual_entities(
     media: DataFrame,
     min_evidence: int = 10,
     vcc_threshold: float = 0.05,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Entities passing both the evidence gate and the classifier gate.
 
     ``vcc_threshold`` drops the lowest-scoring fraction — the deterministic
     stand-in for the VCC keep/drop decision (inference.py:160-176).
+    ``hash_mode="md5"``: cross-engine oracle-checkable scores (unrounded —
+    see grounding.pair_score).
     → (entity, n_media, vcc_score)
     """
     ev = entity_evidence(media)
+    vcc = det_score_col(F.lit("vcc"), "entity", hash_mode=hash_mode)
+    if hash_mode != "md5":
+        vcc = F.round(vcc, 6)
     return (
         ev.filter(F.col("n_media") >= min_evidence)
-        .withColumn("vcc_score", F.round(det_score_col(F.lit("vcc"), "entity"), 6))
+        .withColumn("vcc_score", vcc)
         .filter(F.col("vcc_score") >= vcc_threshold)
     )
 

@@ -37,12 +37,26 @@ ENT_THRESHOLD = 0.87  # ptuningfilter_ent.py:32
 DEFAULT_TOPK = 10
 
 
-def pair_score(s: Column | str, p: Column | str, o: Column | str, media_ref: Column | str) -> Column:
-    return F.round(F.lit(0.20) + F.lit(0.80) * det_score_col(F.lit("pair"), s, p, o, media_ref), 6)
+def pair_score(
+    s: Column | str, p: Column | str, o: Column | str, media_ref: Column | str,
+    hash_mode: str = "xxhash64",
+) -> Column:
+    base = F.lit(0.20) + F.lit(0.80) * det_score_col(
+        F.lit("pair"), s, p, o, media_ref, hash_mode=hash_mode
+    )
+    # md5 (oracle) mode skips the cosmetic round: cross-engine round() is
+    # the one operation with midpoint divergence (CLAUDE.md), and the raw
+    # affine-of-rational value is already bit-identical in both engines.
+    return base if hash_mode == "md5" else F.round(base, 6)
 
 
-def entity_score(entity: Column | str, media_ref: Column | str) -> Column:
-    return F.round(F.lit(0.75) + F.lit(0.25) * det_score_col(F.lit("ent"), entity, media_ref), 6)
+def entity_score(
+    entity: Column | str, media_ref: Column | str, hash_mode: str = "xxhash64"
+) -> Column:
+    base = F.lit(0.75) + F.lit(0.25) * det_score_col(
+        F.lit("ent"), entity, media_ref, hash_mode=hash_mode
+    )
+    return base if hash_mode == "md5" else F.round(base, 6)
 
 
 def grounding_candidates(candidates: DataFrame, media: DataFrame) -> DataFrame:
@@ -60,11 +74,11 @@ def grounding_candidates(candidates: DataFrame, media: DataFrame) -> DataFrame:
     return candidates.join(m, ["doc_id", "s", "o"], "inner")
 
 
-def score_groundings(gc: DataFrame) -> DataFrame:
+def score_groundings(gc: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
     return (
-        gc.withColumn("score", pair_score("s", "p", "o", "media_ref"))
-        .withColumn("score_s", entity_score("s", "media_ref"))
-        .withColumn("score_o", entity_score("o", "media_ref"))
+        gc.withColumn("score", pair_score("s", "p", "o", "media_ref", hash_mode))
+        .withColumn("score_s", entity_score("s", "media_ref", hash_mode))
+        .withColumn("score_o", entity_score("o", "media_ref", hash_mode))
     )
 
 

@@ -49,6 +49,7 @@ class PipelineConfig:
     n_subset_partitions: int = 30
     checkpoint: str = "all"       # "all" | "final"
     scoring: str = "column"       # "column" (hash stand-in) | "model_sim" (numpy kernel)
+    hash_mode: str = "xxhash64"   # "xxhash64" | "md5" (cross-engine oracle mode)
     lineage_stats: bool = True    # per-partition row counts in commit markers
     broadcast_entity_dims: bool = True  # hint entity-scaled dims (off at web scale)
 
@@ -155,7 +156,7 @@ def run_pipeline(
     visual = _stage(
         "visual_entities",
         lambda: entity_filter.visual_entities(
-            media, cfg.min_evidence, cfg.vcc_threshold
+            media, cfg.min_evidence, cfg.vcc_threshold, hash_mode=cfg.hash_mode
         ),
     )
     vis_cand = _stage(
@@ -179,7 +180,7 @@ def run_pipeline(
         if cfg.scoring == "model_sim":
             scored = grounding.score_groundings_model_sim(gc)
         else:
-            scored = grounding.score_groundings(gc)
+            scored = grounding.score_groundings(gc, hash_mode=cfg.hash_mode)
         filtered = grounding.filter_groundings(
             scored, cfg.pair_threshold, cfg.ent_threshold
         )
