@@ -18,6 +18,7 @@ Queries:
   * minhash_dedup  — MinHash signatures + LSH banding over documents.
   * cosine_topk    — brute-force cosine top-10, 50 queries × corpus.
   * lsh_topk       — LSH-bucketed ANN for the same queries.
+  * messy_swap     — bucketed cyclic cross-cluster swap over events (J9).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS,
@@ -171,6 +172,20 @@ def main() -> None:
             lsh_topk(e, q, dim=64, k=10, n_planes=10, n_tables=4).count()
 
         bench_section("lsh_topk", lsh_run)
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+        def messy_run():
+            from imgfact_spark.operators.messy_swap import messy_swap
+
+            df = ev.select(
+                F.col("event_id").cast("string").alias("img_path"),
+                F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("cluster_id"),
+                "event_id",
+            )
+            extras["messy_rows"] = messy_swap(df, key_cols=["event_id"]).count()
+
+        bench_section("messy_swap", messy_run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

@@ -235,3 +235,25 @@ def test_cluster_report_sink(spark, tmp_path):
     assert '<img src="i1"' not in gallery  # i1 clustered with i0, not kept
     assert "2 1" in stats  # n_clusters=2, deleted=1
     assert "avg_cluster_num: 2.0000 deleted: 1.0000" in stats
+
+
+def test_jsonl_scan_and_json_sink_roundtrip(spark, tmp_path):
+    """S5 (JSONL scan via native spark.read.json) + S14 (JSON dict sink via
+    native df.write.json): write → read → contents identical."""
+    import json as _json
+
+    src = tmp_path / "in.jsonl"
+    rows = [{"k": i, "name": f"e{i}", "score": i / 4.0} for i in range(50)]
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    df = spark.read.json(str(src))
+    assert df.count() == 50
+    got = {r["k"]: (r["name"], r["score"]) for r in df.collect()}
+    assert got[7] == ("e7", 1.75)
+
+    out = str(tmp_path / "out_json")
+    df.write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    assert sorted(map(tuple, back.select("k", "name", "score").collect())) == sorted(
+        (r["k"], r["name"], r["score"]) for r in rows
+    )
