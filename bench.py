@@ -40,7 +40,9 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # default 3: this host's noisy-neighbor swings (up to 4×) make min-of-2
+    # a coin flip; min-of-3 reliably finds the machine-limited floor.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     from pyspark.sql import functions as F
 

@@ -1397,10 +1397,67 @@ def mm_extract_features(spark, sf_dir):
     )
 
 
-@_register("m6_cluster_representatives")  # rows-only: density clustering
+@_register(
+    "m6_cluster_representatives",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, 'label_' || label AS p, CAST(vec_id AS VARCHAR) AS media_ref,
+             (vec_id % 100) / CAST(100 AS DOUBLE) AS score,
+             embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    nodes AS (
+      SELECT p, media_ref, score, v,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY score DESC, media_ref) - 1 AS pos
+      FROM e
+    ),
+    edges AS (
+      SELECT a.p, a.pos AS i, b.pos AS j
+      FROM nodes a JOIN nodes b ON a.p = b.p
+      WHERE 1 - list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) <= 0.35
+    ),
+    r(p, node, lbl) AS (
+      SELECT p, i, i FROM edges WHERE i = j
+      UNION
+      SELECT ed.p, ed.j, r.lbl
+      FROM r JOIN edges ed ON ed.p = r.p AND ed.i = r.node
+    ),
+    reach AS (
+      SELECT p, node, MIN(lbl) AS lbl FROM r GROUP BY p, node
+    ),
+    labels AS (
+      SELECT n.p, n.media_ref, n.score, n.pos, rc.lbl AS cluster_id
+      FROM nodes n JOIN reach rc ON rc.p = n.p AND rc.node = n.pos
+    ),
+    sizes AS (
+      SELECT p, cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY p, cluster_id
+    ),
+    gstats AS (
+      SELECT p, COUNT(DISTINCT cluster_id) AS n_clusters, COUNT(*) AS n_cnt
+      FROM labels GROUP BY p
+    )
+    SELECT 'E' AS s, l.p, 'corpus' AS o, l.media_ref, l.score,
+           CAST(l.cluster_id AS INT) AS cluster_id,
+           CAST(z.cluster_size AS INT) AS cluster_size,
+           CAST(g.n_clusters AS INT) AS n_clusters,
+           CAST(g.n_cnt - g.n_clusters AS INT) AS n_deleted
+    FROM labels l
+    JOIN sizes z ON z.p = l.p AND z.cluster_id = l.cluster_id
+    JOIN gstats g ON g.p = l.p
+    WHERE l.pos = l.cluster_id
+    """,
+)
 def m6_cluster_representatives(spark, sf_dir):
     """Per-group DBSCAN representative selection (cluster.py:84-129) via
-    applyInPandas over embedding groups."""
+    applyInPandas over embedding groups.  The oracle recomputes
+    DBSCAN(min_samples=1) as connected components of the eps-graph with a
+    recursive CTE (adjacency = cosine distance ≤ eps over the double-cast
+    vectors).  Silhouette is excluded here (numpy's pairwise summation is
+    not bitwise-reproducible in SQL) — it stays pinned by the independent
+    numpy oracle in tests/test_api_multimodal_clustering.py."""
     from imgfact_spark.operators.clustering import cluster_representatives
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
@@ -1415,7 +1472,7 @@ def m6_cluster_representatives(spark, sf_dir):
         F.col("vec_id").cast("string").alias("media_ref"),
         F.col("embedding").alias("features"),
     )
-    return cluster_representatives(g, f, eps=0.35)
+    return cluster_representatives(g, f, eps=0.35).drop("silhouette")
 
 
 @_register(
