@@ -1354,6 +1354,46 @@ def st_windowed_event_counts(spark, sf_dir):
 
 
 @_register(
+    "st_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+             CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ep, v,
+             CASE WHEN lag(ep) OVER (PARTITION BY user_id ORDER BY ep) IS NULL
+                    OR ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ep
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM tagged
+    )
+    SELECT user_id, MIN(ep) AS session_start, MAX(ep) AS session_end,
+           COUNT(*) AS n_events, SUM(v)::BIGINT AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st_sessionization(spark, sf_dir):
+    """Session windows per user with a 30-min inactivity gap — the batch
+    twin (streaming.sessionize_events_batch) of the applyInPandasWithState
+    stateful streaming operator; tests pin the two paths equal.  Event
+    values are quantized to integer cents so the per-session sum is exact
+    under any summation order (float SUM is order-dependent across
+    engines); boundaries are epoch seconds (timestamp-free contract)."""
+    from imgfact_spark.streaming import sessionize_events_batch
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.floor(F.col("value") * 100).cast("long")
+    )
+    return sessionize_events_batch(ev, gap_seconds=1800)
+
+
+@_register(
     "mm_frame_sample",
     """
     SELECT media_ref, frame_no FROM (

@@ -61,6 +61,124 @@ def ingest_spans_incremental(
     return q
 
 
+def sessionize_events_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows per user with an inactivity gap — batch twin of the
+    stateful streaming operator (identical output contract; tests pin the
+    two paths equal on the same data).
+
+    Gaps-and-islands: per user ordered by event time, a session starts
+    where the gap to the previous event exceeds ``gap_seconds``; session id
+    is the running count of starts (one window shuffle on the user key —
+    distributed, no global sort).
+
+    → (user_id, session_start, session_end, n_events, sum_value) with the
+    boundary times as epoch seconds (bigint — timestamp-free driver-compare
+    contract).
+    """
+    from pyspark.sql import Window
+
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("_ep")
+    w = Window.partitionBy(user_col).orderBy("_ep")
+    tagged = (
+        events.select(F.col(user_col), epoch, F.col(value_col))
+        .withColumn("_prev", F.lag("_ep").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull() | ((F.col("_ep") - F.col("_prev")) > gap_seconds))
+            .cast("int"),
+        )
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return tagged.groupBy(user_col, "_sess").agg(
+        F.min("_ep").alias("session_start"),
+        F.max("_ep").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 4).alias("sum_value"),
+    ).drop("_sess")
+
+
+def sessionize_events_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows via
+    ``applyInPandasWithState`` (SURVEY §2.10 extension; the Spark-native
+    form of a custom stateful operator the reference cannot express).
+
+    State per user = the open session (start, last_ts, n, sum).  Each
+    micro-batch folds its (time-sorted) events into the state, EMITS every
+    session that closed (gap exceeded inside or across batches) and keeps
+    the still-open session in state; a ``ProcessingTimeTimeout`` flushes an
+    idle user's open session.  Emitted rows match the batch twin's contract
+    exactly for closed sessions.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start long, session_end long,"
+        " n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, s double"
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                st, last, n, s = state.get
+                rows.append((user, st, last, n, round(s, 4)))
+                state.remove()
+        else:
+            ep = []
+            vals = []
+            for pdf in pdfs:
+                ep.extend(int(t.timestamp()) for t in pdf[ts_col])
+                vals.extend(float(v) for v in pdf[value_col])
+            order = sorted(range(len(ep)), key=lambda i: ep[i])
+            cur = state.get if state.exists else None
+            for i in order:
+                t, v = ep[i], vals[i]
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_seconds:
+                    rows.append((user, cur[0], cur[1], cur[2], round(cur[3], 4)))
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], t, cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutDuration(gap_seconds * 1000)
+        if rows:  # yielding an empty object-dtype frame trips Arrow; skip
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    user_col, "session_start", "session_end", "n_events", "sum_value",
+                ],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -68,3 +68,112 @@ def test_windowed_event_counts_batch_parity(spark):
         (r["window_start"].hour, r["n_events"]) for r in windowed_event_counts(df, "1 hour").collect()
     }
     assert got == {(0, 2), (1, 3), (3, 1)}
+
+
+def _session_events(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 7: two sessions split by a 40-min gap; user 9: one session
+    for mins, val in [(0, 1.0), (5, 2.0), (10, 3.0), (50, 4.0), (55, 5.0)]:
+        rows.append((eid, base + dt.timedelta(minutes=mins), 7, "click", val))
+        eid += 1
+    for mins, val in [(2, 10.0), (20, 20.0)]:
+        rows.append((eid, base + dt.timedelta(minutes=mins), 9, "view", val))
+        eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_sessionize_batch_semantics(spark):
+    from imgfact_spark.streaming import sessionize_events_batch
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize_events_batch(_session_events(spark), gap_seconds=1800).collect()
+    }
+    base = 1767225600  # 2026-01-01T00:00:00Z
+    assert got == {
+        (7, base, base + 600, 3, 6.0),
+        (7, base + 3000, base + 3300, 2, 9.0),
+        (9, base + 120, base + 1200, 2, 30.0),
+    }
+
+
+def test_sessionize_stream_matches_batch_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState carries the open session across micro-batches
+    (separate triggered runs sharing one state checkpoint) and emits closed
+    sessions identical to the batch twin."""
+    import os
+    import time
+
+    from imgfact_spark.streaming import (
+        sessionize_events_batch,
+        sessionize_events_stream,
+    )
+
+    ev = _session_events(spark)
+    input_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(ev.schema).parquet(input_dir)
+        q = (
+            sessionize_events_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow + ProcessingTimeTimeout lingers in a final
+        # "cleaning up state" batch waiting for the 30-min timeouts; stop
+        # once the data is drained (state is committed per micro-batch).
+        # A settle period avoids racing the initial file listing, whose
+        # status also transiently reads "no new data".
+        t0 = time.time()
+        while q.isActive and time.time() - t0 < 120:
+            st = q.status
+            if (
+                time.time() - t0 > 12
+                and not st["isDataAvailable"]
+                and "cleaning up state" in st["message"]
+            ):
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+
+    # arrival batch 1 SPLITS user 7's first session; batch 2 completes it —
+    # correct output requires real cross-batch state.
+    ev.filter("event_id < 2").coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+    ev.filter("event_id >= 2").coalesce(1).write.mode("append").parquet(input_dir)
+    run_once()
+
+    emitted = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in sessionize_events_batch(ev, gap_seconds=1800)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+    }
+    # stream emits exactly the CLOSED sessions (open tails stay in state
+    # until a timeout or later event) — all emitted rows must be batch rows,
+    # and the session closed by the 40-min gap must have been emitted with
+    # its batch-1 prefix stitched to its batch-2 continuation.
+    assert emitted <= batch
+    base = 1767225600
+    assert (7, base, base + 600, 3, 6.0) in emitted
