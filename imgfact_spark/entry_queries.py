@@ -1119,6 +1119,22 @@ def s_lsh_topk(spark, sf_dir):
 ORACLES["s_lsh_topk"] = _lsh_oracle_sql()
 
 
+@_register("s_ivf_topk")  # rows-only: float k-means training not SQL-replicable
+def s_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (spherical k-means coarse quantizer + nprobe
+    cell probing) — the second ANN scale path next to LSH.  Rows-only:
+    Lloyd training iterates BLAS means whose float summation order DuckDB
+    cannot reproduce bitwise; recall and determinism are pinned by
+    tests/test_similarity.py::test_ivf_*."""
+    from imgfact_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, dim=64, k=5, n_cells=16, nprobe=4)
+
+
 _E2E_RELS = [
     ("banks_with", "banks with"),
     ("resides_in", "resides in"),

@@ -6,6 +6,8 @@
   * lsh_topk — random-hyperplane LSH bucketing: queries only meet corpus
     vectors sharing a signature bucket (multi-probe via several tables).
     The 100 TB path: shuffle cost ∝ bucket collisions, not |corpus|×|queries|.
+  * ivf_topk — IVF coarse quantizer (spherical k-means trained map-reduce
+    style) + nprobe cell probing — the second ANN scale path (FAISS shape).
   * cosine_neardup_pairs — embedding near-duplicate pairs via the same LSH
     tables + exact cosine verification.
 
@@ -238,6 +240,131 @@ def lsh_topk(
     )
     return topk_per_group(
         scored, keys=[query_id_col], order_by=[F.desc("cosine")], k=k, tiebreak=[id_col]
+    )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 64,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF (the second ANN scale
+    path next to LSH; FAISS-style IVF over a DataFrame).
+
+    Deterministic: init = the ``n_cells`` corpus vectors with the smallest
+    md5(seed, id) keys; Lloyd iterations assign by max cosine (normalized
+    dot) and recentre with exact per-dimension means via posexplode + avg —
+    each iteration is ONE pass over the corpus plus an
+    ``n_cells × dim``-row aggregate (driver-sized), the standard
+    map-reduce k-means shape that survives any corpus size.
+    Returns the (n_cells, dim) L2-normalized centroid matrix.
+    """
+    key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
+    init_rows = (
+        corpus.select(vec_col, key.alias("_k"))
+        .orderBy("_k")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r[vec_col], dtype="float64") for r in init_rows])
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
+    for _ in range(n_iters):
+        assigned = _assign_cells(c, cents, vec_col)
+        sums = (
+            assigned.select("_cell", F.posexplode(vec_col).alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["_cell"], np.zeros(dim))[r["_pos"]] = r["_s"] / r["_n"]
+        for cell, vec in acc.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cents = new
+    return cents
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+    """df + ``_cell`` = argmax cosine against the (broadcast-closed-over)
+    centroid matrix — one Arrow-batched BLAS matmul per batch."""
+    ct = centroids.T  # (dim, n_cells)
+
+    @F.pandas_udf("int")
+    def cell_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(v.to_numpy()).astype("float64")
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return pd.Series(np.argmax((mat / nrm) @ ct, axis=1).astype("int32"))
+
+    return df.withColumn("_cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 64,
+    nprobe: int = 8,
+    n_iters: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells and reranks those
+    candidates exactly — shuffle cost ∝ probed-cell sizes, not
+    |corpus|×|queries| (the FAISS IVF shape re-expressed as a cell equi-join).
+    """
+    cents = ivf_train_centroids(
+        corpus, dim, n_cells, n_iters, id_col, vec_col, seed
+    )
+    assigned = snapshot(
+        _assign_cells(
+            ensure_parallelism(corpus.select(id_col, vec_col)), cents, vec_col
+        )
+    )
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qprobe = []
+    for r in qrows:
+        v = np.asarray(r[vec_col], dtype="float64")
+        n = np.linalg.norm(v)
+        sims = cents @ (v / n if n > 0 else v)
+        order = np.argsort(-sims, kind="stable")[:nprobe]
+        qprobe.extend((r[query_id_col], int(c)) for c in order)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(qprobe, f"{query_id_col} long, _cell int")
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+    cand = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .select(query_id_col, id_col, vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = (
+        cand.join(F.broadcast(q), query_id_col)
+        .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
+        .drop("_qvec", vec_col)
+    )
+    return topk_per_group(
+        scored, keys=[query_id_col], order_by=[F.desc("cosine")], k=k,
+        tiebreak=[id_col],
     )
 
 

@@ -114,3 +114,55 @@ def test_mean_pool_and_udaf(spark):
         for r in df.groupBy("k").agg(avg_l2_norm_udaf("vec").alias("n")).collect()
     }
     assert abs(norms[2] - 10.0) < 1e-9
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF probe path: top-1 must be found for every query (near-dup
+    planted), overall recall@5 vs brute force is high, and results are
+    partitioning-invariant."""
+    from imgfact_spark.operators.similarity import ivf_topk
+
+    df, _ = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    approx_df = ivf_topk(df, q, dim=DIM, k=5, n_cells=16, nprobe=6)
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_df.collect()}
+    # the query vector itself (cosine 1.0) must always be retrieved: it
+    # lives in the probed-first cell by construction
+    for i in range(5):
+        assert (i, i) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"recall@5 = {recall}"
+
+    b = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(
+            df.repartition(7), q.repartition(3), dim=DIM, k=5, n_cells=16, nprobe=6
+        ).collect()
+    }
+    a = {(r["query_id"], r["vec_id"], r["rank"]) for r in approx_df.collect()}
+    assert a == b
+
+
+def test_ivf_candidates_bounded_by_probed_cells(spark):
+    """nprobe < n_cells ⇒ the rerank never sees the whole corpus."""
+    from imgfact_spark.operators.similarity import (
+        _assign_cells,
+        ivf_train_centroids,
+    )
+
+    df, _ = _vectors(spark)
+    cents = ivf_train_centroids(df, DIM, n_cells=16, n_iters=2)
+    assert cents.shape == (16, DIM)
+    # centroids are unit-norm
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    assigned = _assign_cells(df, cents, "embedding")
+    sizes = {r["_cell"]: r["count"] for r in assigned.groupBy("_cell").count().collect()}
+    assert sum(sizes.values()) == N
+    # probing 6 of 16 cells can only surface those cells' members
+    assert max(sizes.values()) < N
