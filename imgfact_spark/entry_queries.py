@@ -998,6 +998,73 @@ def d_simhash_pairs(spark, sf_dir):
 
 
 @_register(
+    "t_ngram_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 1], ' ') AS ngram
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS i(i)
+    ),
+    counts AS (SELECT ngram, COUNT(*) AS n_docs FROM sh GROUP BY ngram)
+    SELECT ngram, n_docs FROM counts ORDER BY n_docs DESC, ngram LIMIT 50
+    """,
+)
+def t_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams by document frequency
+    (operators/dedup.ngram_topk) — LM-corpus n-gram statistics."""
+    from imgfact_spark.operators.dedup import ngram_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_topk(d, "text", "doc_id", n=2, k=50)
+
+
+@_register(
+    "t_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS ngram
+      FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+    ),
+    corpus_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id >= 50),
+    test_grams AS (SELECT doc_id, ngram FROM grams WHERE doc_id < 50),
+    totals AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM test_grams GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM test_grams WHERE ngram IN (SELECT ngram FROM corpus_grams)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_ngrams,
+           COALESCE(h.n_contaminated, 0) AS n_contaminated,
+           FLOOR(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) * 10000 / t.n_ngrams)
+             / 10000 AS contamination
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def t_contamination(spark, sf_dir):
+    """Train/test n-gram contamination check (operators/dedup.
+    contamination_check): test docs (doc_id < 50) vs the rest as corpus."""
+    from imgfact_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        "text",
+        "doc_id",
+        n=3,
+    )
+
+
+@_register(
     "s_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -286,6 +286,69 @@ def simhash_dup_pairs(
     return pairs
 
 
+# ----------------------------------------------------- corpus n-gram stats
+
+
+def ngram_topk(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency (distinct doc
+    count — each doc credits an n-gram once, the LM-corpus stats shape).
+
+    Scale: explode distinct per-doc shingles → count per n-gram (two-phase
+    hash agg) → global top-k via orderBy+limit, which compiles to
+    TakeOrdered over the PRE-AGGREGATED counts (no full sort of the corpus).
+    Deterministic tiebreak on the n-gram string."""
+    sh = shingle_df(df, text_col, id_col, n)
+    counts = (
+        sh.select(F.explode("shingles").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return counts.orderBy(F.desc("n_docs"), "ngram").limit(k)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    testset: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Train/test contamination: per test document, the fraction of its
+    word n-grams that appear ANYWHERE in the training corpus (the standard
+    n-gram-overlap decontamination signal for LM training data).
+
+    Scale shape: the corpus reduces to a DISTINCT n-gram relation (shuffle
+    of n-gram keys only, never documents); test n-grams LEFT SEMI against
+    it; ratios from two counts per test doc.  → (id, n_ngrams,
+    n_contaminated, contamination) with the ratio floor-truncated at 1e-4
+    (cross-engine exact)."""
+    corpus_grams = (
+        shingle_df(corpus, text_col, id_col, n)
+        .select(F.explode("shingles").alias("ngram"))
+        .distinct()
+    )
+    test_grams = shingle_df(testset, text_col, id_col, n).select(
+        id_col, F.explode("shingles").alias("ngram")
+    )
+    hits = test_grams.join(corpus_grams, "ngram", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated")
+    )
+    totals = test_grams.groupBy(id_col).agg(F.count("*").alias("n_ngrams"))
+    return (
+        totals.join(hits, id_col, "left")
+        .fillna(0, subset=["n_contaminated"])
+        .withColumn(
+            "contamination",
+            F.floor(
+                F.col("n_contaminated").cast("double") * 10000 / F.col("n_ngrams")
+            )
+            / 10000,
+        )
+    )
+
+
 # ------------------------------------------------------------- exact jaccard
 
 

@@ -111,3 +111,44 @@ def test_ngram_jaccard_verification(spark):
     assert got[(0, 1)] == 1.0  # exact dup
     assert (0, 2) in got and got[(0, 2)] < 1.0  # near dup
     assert (0, 3) not in got  # unrelated text filtered out
+
+
+def test_ngram_topk_doc_frequency(spark):
+    from imgfact_spark.operators.dedup import ngram_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "the cat sat the cat sat"),  # dup bigrams count once per doc
+            (4, "a dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r["ngram"], r["n_docs"]) for r in ngram_topk(df, "text", "doc_id", n=2, k=3).collect()]
+    assert got[0] == ("the cat", 3)
+    assert ("cat sat", 2) in got
+
+
+def test_contamination_check_ratios(spark):
+    from imgfact_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    tests = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # fully contained
+            (2, "zeta eta theta iota"),      # disjoint
+            (3, "alpha beta gamma zeta"),    # 1 of 2 trigrams hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination"])
+        for r in contamination_check(corpus, tests, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 1, 0.5)
