@@ -61,6 +61,114 @@ def ingest_spans_incremental(
     return q
 
 
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    rel2desc: DataFrame,
+    kb_entities: DataFrame,
+    await_termination: bool = True,
+):
+    """Incremental KG extraction: per arriving document micro-batch, run
+    the DOC-LOCAL pipeline stages (span explode → media parse → mention
+    detection → entity linking) once and append the results to two logs —
+    ``{work_dir}/media_log`` and ``{work_dir}/candidates_log``.
+
+    The expensive per-document work (regex matching, dictionary linking)
+    thus happens EXACTLY ONCE per document; the corpus-global layer (gates,
+    whitelist, aggregation) is recomputed over the append-only logs by
+    :func:`incremental_kg_tables` — cheap relative to extraction, and the
+    classic incremental-extract / recompute-reduce design when no lakehouse
+    MERGE is available.  Exactly-once per batch via foreachBatch + the
+    stream checkpoint.
+    """
+    from imgfact_spark.pipeline import extract, ingest
+
+    docs = stream_documents(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spans = ingest.explode_spans(batch_df)
+        media = ingest.media_spans(spans)
+        mentions = extract.detect_mentions(spans, rel2desc)
+        cand = extract.link_entities(mentions, kb_entities)
+        media.select(
+            "doc_id", "media_ref", "subset", "media_s", "media_o"
+        ).write.mode("append").parquet(f"{work_dir}/media_log")
+        cand.select("doc_id", "s", "p", "o").write.mode("append").parquet(
+            f"{work_dir}/candidates_log"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def incremental_kg_tables(spark: SparkSession, work_dir: str, cfg=None):
+    """Current kg_triples / kg_groundings views over the incremental logs.
+
+    Applies the SAME corpus-global chain as the batch runner (visual gates
+    → relation whitelist → grounding scores/thresholds/top-K → canonical
+    rewrite) to the accumulated extraction logs; the parity test pins this
+    equal to ``run_pipeline`` over the full corpus.  Correctness note:
+    distinct-media evidence composes across batches because media_refs are
+    globally unique per document occurrence (new docs bring new refs).
+    """
+    from imgfact_spark.pipeline import canonicalize as canon
+    from imgfact_spark.pipeline import entity_filter, grounding, relation_filter
+    from imgfact_spark.pipeline.runner import PipelineConfig
+
+    cfg = cfg or PipelineConfig()
+    media = spark.read.parquet(f"{work_dir}/media_log")
+    candidates = spark.read.parquet(f"{work_dir}/candidates_log")
+
+    visual = entity_filter.visual_entities(
+        media, cfg.min_evidence, cfg.vcc_threshold, hash_mode=cfg.hash_mode
+    )
+    vis_cand = entity_filter.filter_visual_triples(
+        candidates, visual, broadcast_dim=cfg.broadcast_entity_dims
+    )
+    ratio = relation_filter.visual_relation_ratio(
+        vis_cand, candidates, min_total=cfg.relation_min_total
+    )
+    wl = relation_filter.select_relations(ratio, min_count=cfg.relation_min_count)
+    wl_cand = relation_filter.apply_relation_whitelist(vis_cand, wl)
+
+    gc = grounding.grounding_candidates(wl_cand, media)
+    scored = (
+        grounding.score_groundings_model_sim(gc)
+        if cfg.scoring == "model_sim"
+        else grounding.score_groundings(gc, hash_mode=cfg.hash_mode)
+    )
+    grounded = grounding.topk_groundings(
+        grounding.filter_groundings(scored, cfg.pair_threshold, cfg.ent_threshold),
+        cfg.topk,
+    )
+
+    rewritten = canon.rewrite_triples_norm(wl_cand.select("doc_id", "s", "p", "o"))
+    kg_triples = (
+        rewritten.groupBy("s", "p", "o")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .withColumn(
+            "subset",
+            F.format_string(
+                "Triplelist%03d",
+                F.pmod(F.xxhash64("s", "p", "o"), F.lit(cfg.n_subset_partitions)) + 1,
+            ),
+        )
+    )
+    kg_groundings = canon.rewrite_triples_norm(grounded).select(
+        "s", "p", "o", "media_ref", "doc_id", "score", "rank", "subset"
+    )
+    return kg_triples, kg_groundings
+
+
 def sessionize_events_batch(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -177,3 +177,45 @@ def test_sessionize_stream_matches_batch_across_microbatches(spark, tmp_path):
     assert emitted <= batch
     base = 1767225600
     assert (7, base, base + 600, 3, 6.0) in emitted
+
+
+def test_incremental_kg_matches_batch_pipeline(spark, tmp_path):
+    """Streaming incremental KG construction == the batch pipeline on the
+    same corpus: docs arrive in two batches, extraction runs once per doc
+    into append logs, and the aggregate layer over the logs reproduces
+    run_pipeline's kg_triples and kg_groundings EXACTLY."""
+    import os
+
+    from imgfact_spark import synth
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+    from imgfact_spark.streaming import incremental_extract, incremental_kg_tables
+
+    docs = synth.synth_documents(spark, 120).cache()
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+    cfg = PipelineConfig(min_evidence=1, checkpoint="final", lineage_stats=False)
+
+    input_dir = str(tmp_path / "ikg_in")
+    work_dir = str(tmp_path / "ikg_work")
+    ckpt = str(tmp_path / "ikg_ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+
+    docs.filter("doc_id < 'doc_000000060'").write.mode("append").parquet(input_dir)
+    incremental_extract(spark, input_dir, work_dir, ckpt, r2d, ents)
+    docs.filter("doc_id >= 'doc_000000060'").write.mode("append").parquet(input_dir)
+    incremental_extract(spark, input_dir, work_dir, ckpt, r2d, ents)
+
+    inc_triples, inc_groundings = incremental_kg_tables(spark, work_dir, cfg)
+
+    res = run_pipeline(
+        spark, docs, r2d, ents, TableStore(str(tmp_path / "ikg_batch")), cfg,
+        input_fingerprint="ikg:120",
+    )
+    bt = sorted(map(tuple, res.kg_triples.select("s", "p", "o", "n_docs", "subset").collect()))
+    it = sorted(map(tuple, inc_triples.select("s", "p", "o", "n_docs", "subset").collect()))
+    assert it == bt
+    bg = sorted(map(tuple, res.kg_groundings.collect()))
+    ig = sorted(map(tuple, inc_groundings.select(*res.kg_groundings.columns).collect()))
+    assert ig == bg
