@@ -1186,6 +1186,60 @@ def s_lsh_topk(spark, sf_dir):
 ORACLES["s_lsh_topk"] = _lsh_oracle_sql()
 
 
+def _neardup_oracle_sql() -> str:
+    """Oracle for d_cosine_neardup: replicate the 2-table/8-plane bucket
+    self-join with embedded plane literals, then the exact-cosine gate."""
+    from imgfact_spark.operators.similarity import _table_planes
+
+    planes = _table_planes(64, 8, 2, 42)
+
+    def sig_expr(vcol: str, t: int) -> str:
+        terms = []
+        for i in range(8):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[t * 8 + i]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sigs = ",\n             ".join(f"({sig_expr('v', t)}) AS sig{t}" for t in range(2))
+    match = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(2))
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sigs}
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM c a JOIN c b ON a.vec_id < b.vec_id AND ({match})
+    ) WHERE cosine >= 0.4
+    """
+
+
+@_register("d_cosine_neardup")
+def d_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: SRP bucket self-join over
+    (table, sig) + exact cosine verify — the embedding leg of the dedup
+    family, oracle-checked with plane-literal SQL like s_lsh_topk."""
+    from imgfact_spark.operators.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_neardup_pairs(
+        e, dim=64, threshold=0.4, n_planes=8, n_tables=2, method="column"
+    )
+
+
+ORACLES["d_cosine_neardup"] = _neardup_oracle_sql()
+
+
 @_register("s_ivf_topk")  # rows-only: float k-means training not SQL-replicable
 def s_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (spherical k-means coarse quantizer + nprobe

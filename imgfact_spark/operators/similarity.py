@@ -377,6 +377,7 @@ def cosine_neardup_pairs(
     n_planes: int = 14,
     n_tables: int = 3,
     seed: int = 42,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket self-join over (table, sig)
     → distinct candidate pairs → exact cosine ≥ threshold.
@@ -384,12 +385,13 @@ def cosine_neardup_pairs(
     One corpus scan emits every table's signature (array → posexplode);
     ``snapshot`` materializes the tiny (id, table, sig) relation so the
     self-join does not recompute the signatures (round-1 looped n_tables
-    scans of the corpus)."""
+    scans of the corpus).  ``method="column"``: sequential JVM dots for
+    oracle bit-equality (see lsh_topk)."""
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     sig = snapshot(
-        hyperplane_signatures(c, vec_col, dim, n_planes, n_tables, seed).select(
-            id_col, F.posexplode("lsh_sigs").alias("_t", "_sig")
-        )
+        hyperplane_signatures(
+            c, vec_col, dim, n_planes, n_tables, seed, method=method
+        ).select(id_col, F.posexplode("lsh_sigs").alias("_t", "_sig"))
     )
     l = sig.select(F.col(id_col).alias("id_a"), "_t", "_sig")
     r = sig.select(F.col(id_col).alias("id_b"), "_t", "_sig")
