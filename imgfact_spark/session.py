@@ -47,6 +47,13 @@ def get_spark(
         # skew is a documented property of the workload (SURVEY.md §2.4).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Keep post-shuffle stages parallel on small inputs: the default
+        # 1 MB minPartitionSize lets AQE coalesce a sub-MB shuffle to ONE
+        # partition, single-threading every downstream stage (measured 1.3-
+        # 1.5× pipeline slowdown at bench scale).  A 16 KB floor preserves
+        # up-to-parallelism fan-out for tiny stages and is inert at
+        # production sizes, where partitions are orders of magnitude larger.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
         # Arrow batches feed the pandas-UDF kernels (mention detection,
