@@ -17,7 +17,7 @@ module wires them into the same products as DataFrame transforms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from imgfact_spark.operators.balance import oversample_balance
@@ -116,6 +116,117 @@ def messy_variant(pairs: DataFrame, rel_cluster: DataFrame) -> DataFrame:
     rc = F.broadcast(rel_cluster.select("p", "cluster_id"))
     with_cluster = pairs.join(rc, "p", "left").fillna(-1, subset=["cluster_id"])
     return messy_swap(with_cluster, img_col="img_path", cluster_col="cluster_id")
+
+
+def diff_image_partner(
+    pairs: DataFrame,
+    group_col: str = "p",
+    differ_cols: tuple[str, ...] = ("s", "o"),
+    img_col: str = "img_path",
+    max_scan: int = 32,
+    seed: int = 998244353,
+) -> DataFrame:
+    """J8/O6: within each ``group_col`` group, swap each row's image with
+    that of another group member whose ``differ_cols`` differ; fallback to
+    self after ``max_scan`` candidates (the reference's ``get_diff_img``
+    pop-with-fallback, app_p_prepare_data.py:46-56 /
+    p_entity_setup.py:44-54).
+
+    Distributed: one window per group (partitionBy group_col — groups are
+    relation/entity keyed, so parallelism = group cardinality), md5-seeded
+    order, candidates via ``collect_list`` over ``rowsBetween(1, max_scan)``.
+    """
+    cols = pairs.columns
+    order_key = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_key.alias("_ok"))
+        .rowsBetween(1, max_scan)
+    )
+    cand_struct = F.struct(
+        *[F.col(c).alias(f"d_{c}") for c in differ_cols],
+        F.col(img_col).alias("im"),
+    )
+    cands = F.collect_list(cand_struct).over(w)
+    differs = lambda x: F.exists(
+        F.array(*[(x[f"d_{c}"] != F.col(c)).cast("int") for c in differ_cols]),
+        lambda b: b == 1,
+    )
+    swapped = F.coalesce(
+        F.try_element_at(F.filter(cands, differs), F.lit(1))["im"],
+        F.col(img_col),
+    )
+    return (
+        pairs.withColumn("_sw", swapped)
+        .withColumnRenamed(img_col, f"{img_col}_orig")
+        .withColumnRenamed("_sw", img_col)
+        .select(*cols, f"{img_col}_orig")
+    )
+
+
+def build_eval_namespace(
+    pairs: DataFrame,
+    rel2desc: DataFrame,
+    rel_cluster: DataFrame,
+    predict_p_blacklist: tuple[str, ...] = ("child", "spouse"),
+) -> dict[str, DataFrame]:
+    """The full generate.sh product matrix (generate.sh:1-15, README.md:
+    158-160) as one dict of DataFrames — a user of the reference's 9
+    ``*_prepare/_setup`` scripts gets every dataset from this one call:
+
+      predict_s/spo, predict_s/messy           (s_spo / s_messy_prepare)
+      predict_o/spo, predict_o/messy, predict_o/p
+                                (prepare_data / messy_prepare / app_p)
+      predict_p/spo, predict_p/messy, predict_p/s, predict_p/o
+                      (p_spo_setup / p_messy_setup / p_entity_setup ×2)
+
+    predict_p drops the blacklisted relations (p_entity_setup.py:31-34) and
+    balances by relation (p_spo_setup.py:84-89); entity-context variants
+    key the diff-image partner on the entity (the reference's
+    ``imgdic[s]`` — its --o invocation shares the s-keyed dict, a quirk we
+    normalize by keying each variant on its own entity).
+    """
+    ns: dict[str, DataFrame] = {}
+    ns["predict_s/spo"] = masked_inputs(pairs, rel2desc, predict="s")
+    ns["predict_o/spo"] = masked_inputs(pairs, rel2desc, predict="o")
+
+    messy_pairs = messy_variant(pairs, rel_cluster).select(
+        "line_no", "s", "p", "o", "img_path"
+    )
+    ns["predict_s/messy"] = masked_inputs(messy_pairs, rel2desc, predict="s")
+    ns["predict_o/messy"] = masked_inputs(messy_pairs, rel2desc, predict="o")
+
+    ns["predict_o/p"] = masked_inputs(
+        diff_image_partner(pairs, group_col="p", differ_cols=("s", "o")),
+        rel2desc,
+        predict="o",
+    )
+
+    p_pairs = pairs.filter(~F.col("p").isin(*predict_p_blacklist))
+    ptargets = with_position(
+        p_pairs.select("p").distinct(), order_by=["p"], pos_col="label_id"
+    )
+    sep = F.concat(
+        F.translate("s", "_", " "), F.lit(" [MASK] "), F.translate("o", "_", " ")
+    )
+    p_base = (
+        p_pairs.join(F.broadcast(ptargets), "p")
+        .withColumn("input_text", sep)
+        .withColumn("label_entity", F.col("p"))
+    )
+    ns["predict_p/spo"] = oversample_balance(p_base, "p")
+    ns["predict_p/messy"] = messy_variant(p_base, rel_cluster)
+    ns["predict_p/s"] = diff_image_partner(
+        p_base, group_col="s", differ_cols=("p", "o")
+    )
+    ns["predict_p/o"] = diff_image_partner(
+        p_base, group_col="o", differ_cols=("p", "s")
+    )
+    return ns
 
 
 def split_sets(

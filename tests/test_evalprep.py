@@ -100,3 +100,56 @@ def test_messy_variant_cross_cluster(spark, kg):
     assert len(rows) == pairs.count()
     swapped = sum(1 for r in rows if r["img_path"] != r["img_path_orig"])
     assert swapped > 0
+
+
+def test_diff_image_partner_constraint(spark):
+    """J8 pop semantics: swapped image comes from the same group but a row
+    whose differ columns differ; self only when no such partner exists."""
+    rows = [
+        ("r1", "a", "x", "i1"), ("r1", "b", "y", "i2"), ("r1", "a", "x", "i3"),
+        ("r2", "c", "z", "i4"),  # lone row in its group → self
+    ]
+    pairs = spark.createDataFrame(rows, "p string, s string, o string, img_path string")
+    got = {r["img_path_orig"]: r for r in
+           evalprep.diff_image_partner(pairs, group_col="p", differ_cols=("s", "o")).collect()}
+    assert got["i4"]["img_path"] == "i4"  # no partner
+    orig = {"i1": ("a", "x"), "i2": ("b", "y"), "i3": ("a", "x")}
+    for img in ("i1", "i2", "i3"):
+        r = got[img]
+        if r["img_path"] != img:
+            assert orig[r["img_path"]] != (r["s"], r["o"])
+    # i2 (the only (b,y) row) must have found a partner among the (a,x) rows
+    assert got["i2"]["img_path"] in ("i1", "i3")
+
+
+def test_build_eval_namespace_full_matrix(spark, kg):
+    """All 9 generate.sh products exist with the right shapes (README.md:
+    158-160; generate.sh:1-15)."""
+    res, _ = kg
+    pairs = evalprep.build_pairs(res.kg_groundings)
+    r2d = synth.rel2desc_df(spark)
+    rel_cluster = spark.createDataFrame(
+        [(p, i % 3) for i, p in enumerate(synth.RELATIONS)], "p string, cluster_id int"
+    )
+    blacklist = (synth.RELATIONS[0],)
+    ns = evalprep.build_eval_namespace(
+        pairs, r2d, rel_cluster, predict_p_blacklist=blacklist
+    )
+    assert set(ns) == {
+        "predict_s/spo", "predict_s/messy",
+        "predict_o/spo", "predict_o/messy", "predict_o/p",
+        "predict_p/spo", "predict_p/messy", "predict_p/s", "predict_p/o",
+    }
+    # masked slots
+    assert ns["predict_s/spo"].filter("input_text NOT LIKE '%[MASK]%'").count() == 0
+    assert ns["predict_o/spo"].filter("input_text NOT LIKE '%[MASK]%'").count() == 0
+    # predict_p drops blacklisted relations and carries dense label ids
+    for name in ("predict_p/spo", "predict_p/s", "predict_p/o"):
+        df = ns[name]
+        assert df.filter(F.col("p").isin(*blacklist)).count() == 0
+        assert "label_id" in df.columns
+    ids = sorted(r["label_id"] for r in ns["predict_p/s"].select("label_id").distinct().collect())
+    assert ids == list(range(len(ids)))  # dense 0..n-1
+    # diff-image products keep row count and carry provenance
+    assert ns["predict_o/p"].count() == pairs.count()
+    assert "img_path_orig" in ns["predict_p/s"].columns
