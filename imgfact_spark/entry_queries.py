@@ -1240,6 +1240,62 @@ def d_cosine_neardup(spark, sf_dir):
 ORACLES["d_cosine_neardup"] = _neardup_oracle_sql()
 
 
+@_register(
+    "s_quantize_embeddings",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+    q AS (SELECT vec_id, v, ma,
+                 CASE WHEN ma > 0
+                      THEN list_transform(v, x -> CAST(FLOOR(x * 127 / ma) AS INT))
+                      ELSE list_transform(v, x -> 0) END AS qv
+          FROM m),
+    d AS (SELECT vec_id, v, qv,
+                 list_transform(qv, x -> CAST(x AS DOUBLE) * ma / 127) AS dv
+          FROM q)
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           FLOOR(list_dot_product(dv, v)
+                 / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(v, v)))
+                 * 1000000) / 1000000 AS recon_cosine
+    FROM d
+    """,
+)
+def s_quantize_embeddings(spark, sf_dir):
+    """Embedding int8-style quantization (functions/vectors.quantize_vec):
+    the 4× storage/shuffle reduction path for embedding columns at corpus
+    scale.  Emits per-vector integer checksums of the quantized codes and
+    the reconstruction cosine (floor-truncated) — every value exactly
+    replicated by the DuckDB oracle (floor arithmetic, order-independent
+    max, sequential dots)."""
+    from imgfact_spark.functions.vectors import (
+        cosine_sim,
+        dequantize_vec,
+        quantize_vec,
+        vec_max_abs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    d = (
+        e.withColumn("ma", vec_max_abs("v"))
+        .withColumn("qv", quantize_vec("v"))
+        .withColumn("dv", dequantize_vec("qv", "ma"))
+    )
+    return d.select(
+        "vec_id",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        (F.floor(cosine_sim("dv", "v") * 1000000) / 1000000).alias("recon_cosine"),
+    )
+
+
 @_register("s_ivf_topk")  # rows-only: float k-means training not SQL-replicable
 def s_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (spherical k-means coarse quantizer + nprobe

@@ -166,3 +166,33 @@ def test_ivf_candidates_bounded_by_probed_cells(spark):
     assert sum(sizes.values()) == N
     # probing 6 of 16 cells can only surface those cells' members
     assert max(sizes.values()) < N
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8-style quantization: codes bounded, zero vectors → zeros, and the
+    reconstruction cosine stays above the scalar-quantization error bound."""
+    from imgfact_spark.functions.vectors import (
+        cosine_sim,
+        dequantize_vec,
+        quantize_vec,
+        vec_max_abs,
+    )
+
+    df, vecs = _vectors(spark)
+    df = df.unionByName(
+        spark.createDataFrame([(999, [0.0] * DIM)], "vec_id long, embedding array<float>")
+    )
+    d = (
+        df.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("ma", vec_max_abs("v"))
+        .withColumn("qv", quantize_vec("v"))
+        .withColumn("dv", dequantize_vec("qv", "ma"))
+        .withColumn("recon", cosine_sim("dv", "v"))
+    )
+    rows = d.collect()
+    for r in rows:
+        assert all(-128 <= q <= 127 for q in r["qv"])
+        if r["vec_id"] == 999:
+            assert all(q == 0 for q in r["qv"])
+        else:
+            assert r["recon"] > 0.995, (r["vec_id"], r["recon"])
