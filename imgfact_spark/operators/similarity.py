@@ -270,6 +270,9 @@ def ivf_train_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("ivf_train_centroids: empty corpus")
+    # tiny corpora degrade gracefully: fewer cells than requested
     cents = np.vstack([np.asarray(r[vec_col], dtype="float64") for r in init_rows])
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

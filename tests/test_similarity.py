@@ -196,3 +196,25 @@ def test_quantize_roundtrip_error_bound(spark):
             assert all(q == 0 for q in r["qv"])
         else:
             assert r["recon"] > 0.995, (r["vec_id"], r["recon"])
+
+
+def test_ivf_tiny_corpus_degrades_gracefully(spark):
+    """Corpus smaller than n_cells: fewer cells, exact results (every
+    vector probed), no crash; empty corpus raises."""
+    import pytest
+
+    from imgfact_spark.operators.similarity import ivf_topk, ivf_train_centroids
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    got = ivf_topk(df, q, dim=4, k=3, n_cells=64, nprobe=64, n_iters=1).select(*cols)
+    exact = brute_force_topk(df, q, k=3).select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception):
+        ivf_train_centroids(empty, dim=4, n_cells=4)
