@@ -246,3 +246,28 @@ def fingerprint_df(df: DataFrame, cols: list[str] | None = None) -> str:
         .collect()[0]
     )
     return f"{row['n']}:{row['x']}:{row['s']}"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write a bucketed managed table (Hive-style bucketing, S4/§4 scale
+    lever): two tables bucketed on the same key with the same bucket count
+    join WITHOUT either side shuffling — the co-located join strategy for
+    repeatedly-joined big tables (fact↔fact grounding joins at corpus
+    scale, where re-shuffling per query dwarfs the one-time bucketed
+    write).
+
+    Uses ``bucketBy().sortBy().saveAsTable`` (bucketing requires a managed
+    table; the session's warehouse dir is a temp path).  Returns the
+    re-read table."""
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+    return spark.table(table)

@@ -10,6 +10,7 @@ alias dictionaries — all ≤ a few MB by construction).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -65,6 +66,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed (bucketed) tables land in a temp warehouse, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), f"imgfact_warehouse_{os.getpid()}"),
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

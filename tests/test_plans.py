@@ -1,0 +1,115 @@
+"""Physical-plan invariants — the scale properties the engine claims
+(BENCH/PLAN_NOTES.md) pinned as tests so regressions surface immediately:
+filter pushdown + column pruning at the parquet scan, broadcast semi-joins
+for dictionary gates, native WindowGroupLimit for per-group top-K, and no
+single-partition exchanges in the distributed operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_discount") > 0.04).select("l_orderkey", "l_discount")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_discount,0.04)" in plan
+    # scan reads only the 2 projected columns, not all 11
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_discount" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+def test_dictionary_gates_compile_to_broadcast_semi(spark):
+    from imgfact_spark.pipeline.entity_filter import filter_visual_triples
+
+    cand = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").cast("string").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("o"),
+    )
+    visual = cand.select(F.col("s").alias("entity")).distinct().limit(100)
+    plan = _executed(filter_visual_triples(cand, visual))
+    assert plan.count("BroadcastHashJoin") >= 2  # both endpoint gates
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_compiles_to_window_group_limit(spark):
+    from imgfact_spark.operators.topk import topk_per_group
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    t = topk_per_group(
+        li, keys=["l_orderkey"], order_by=[F.desc("l_extendedprice")], k=3,
+        tiebreak=["l_linenumber"],
+    )
+    plan = _executed(t)
+    # partial limit below the exchange AND final above it
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_minhash_band_join_reuses_snapshot_not_recompute(spark):
+    """The band-bucket self-join must read one materialized snapshot of the
+    signature relation, not re-derive shingles+minhash per side."""
+    from imgfact_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_signature,
+        shingle_df,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    sig = minhash_signature(shingle_df(d, "text", "doc_id", n=2), "doc_id", num_hashes=16)
+    pairs = minhash_lsh_dup_pairs(sig, "doc_id", bands=4, rows_per_band=4)
+    plan = _executed(pairs)
+    # the pandas-free signature chain (explode + partial agg) appears at most
+    # once; the self-join sides scan the snapshot (InMemory/LocalTableScan)
+    assert plan.count("Generate explode") <= 1
+
+
+def test_distributed_operators_have_no_single_partition_exchange(spark):
+    from imgfact_spark.operators.zip_join import with_position
+    from imgfact_spark.streaming import sessionize_events_batch
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert "SinglePartition" not in _executed(sessionize_events_batch(ev))
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert "SinglePartition" not in _executed(
+        with_position(d, ["doc_id"], num_partitions=8)
+    )
+
+
+def test_bucketed_join_avoids_both_exchanges(spark):
+    """Two tables bucketed on the join key: the join plan contains NO
+    shuffle exchange on either side (co-located bucketed join)."""
+    from imgfact_spark.io import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    bl = write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8, ["l_orderkey"])
+    bo = write_bucketed(o, "t_o_bucketed", ["o_orderkey"], 8, ["o_orderkey"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        plan = _executed(j)
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
