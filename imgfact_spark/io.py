@@ -271,3 +271,53 @@ def write_bucketed(
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
     return spark.table(table)
+
+
+def compact_table(
+    store: TableStore,
+    spark: SparkSession,
+    name: str,
+    target_file_mb: int = 128,
+) -> DataFrame:
+    """Rewrite a committed stage table into ~``target_file_mb`` files —
+    the small-files repair every long-running lakehouse pipeline needs
+    (streaming appends and fine-grained partitioned writes accumulate tiny
+    files; at object-store scale each file is a request and a task).
+
+    File count is sized from the CURRENT on-disk bytes; partitioned tables
+    keep their partition columns (repartition by them, so each partition
+    stays one-task-co-located).  The rewrite goes to a sibling directory
+    and is swapped in with a rename; the commit marker (fingerprint,
+    lineage) is preserved with a refreshed timestamp.
+    """
+    import math
+
+    meta = store.lineage(name)
+    src = store.path(name)
+    part_by = meta.get("partition_by") or []
+
+    total_bytes = 0
+    for dirpath, _, files in os.walk(src):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(dirpath, fn))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = store.read(spark, name)
+    if part_by:
+        out = df.repartition(*[F.col(c) for c in part_by])
+    else:
+        out = df.repartition(n_files)
+    tmp = src + "._compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = out.write.mode("overwrite")
+    if part_by:
+        writer = writer.partitionBy(*part_by)
+    writer.parquet(tmp)
+
+    shutil.rmtree(src)
+    os.rename(tmp, src)
+    meta["committed_at"] = time.time()
+    with open(store._marker_path(name), "w") as f:
+        json.dump(meta, f)
+    return store.read(spark, name)

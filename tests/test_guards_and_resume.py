@@ -141,3 +141,29 @@ def test_lineage_df(spark, small_run):
     rows = {r["table"]: r for r in ldf.collect()}
     assert "kg_triples" in rows and "spans" in rows
     assert rows["spans"]["rows"] > 0
+
+
+def test_compact_table_reduces_files_preserves_contents(spark, tmp_path):
+    from imgfact_spark.io import TableStore, compact_table
+
+    store = TableStore(str(tmp_path / "cstore"))
+    df = spark.range(20000).selectExpr("id", "id % 7 AS k")
+    # fragment: 64 tiny files
+    store.write(df.repartition(64), "frag", input_fingerprint="c:1")
+    import os as _os
+
+    def parquet_files():
+        return [
+            f for _, _, fs in _os.walk(store.path("frag")) for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = len(parquet_files())
+    assert before >= 32
+    compacted = compact_table(store, spark, "frag", target_file_mb=128)
+    after = len(parquet_files())
+    assert after < before and after <= 4
+    assert compacted.count() == 20000
+    assert sorted(map(tuple, compacted.collect())) == sorted(map(tuple, df.collect()))
+    # lineage survives the rewrite
+    assert store.lineage("frag")["input_fingerprint"] == "c:1"
