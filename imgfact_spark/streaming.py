@@ -92,11 +92,15 @@ def incremental_extract(
         media = ingest.media_spans(spans)
         mentions = extract.detect_mentions(spans, rel2desc)
         cand = extract.link_entities(mentions, kb_entities)
+        # idempotent per-batch writes: foreachBatch is at-least-once on
+        # retry, so each batch overwrites ITS OWN directory (batch_id=N
+        # becomes a discovered partition column downstream) instead of
+        # appending — a replayed batch replaces itself, never duplicates.
         media.select(
             "doc_id", "media_ref", "subset", "media_s", "media_o"
-        ).write.mode("append").parquet(f"{work_dir}/media_log")
-        cand.select("doc_id", "s", "p", "o").write.mode("append").parquet(
-            f"{work_dir}/candidates_log"
+        ).write.mode("overwrite").parquet(f"{work_dir}/media_log/batch_id={batch_id}")
+        cand.select("doc_id", "s", "p", "o").write.mode("overwrite").parquet(
+            f"{work_dir}/candidates_log/batch_id={batch_id}"
         )
 
     q = (
