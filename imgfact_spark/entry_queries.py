@@ -1384,23 +1384,10 @@ def _e2e_oracle_sql() -> str:
     """
 
 
-@_register("kg_construct_e2e")
-def kg_construct_e2e(spark, sf_dir):
-    """Flagship: the FULL KG-construction pipeline (spans → mention
-    detection → entity linking → visual gates → whitelist → grounding join
-    → scoring → thresholds → per-triple top-K → canonical rewrite), driven
-    end-to-end over an interleaved-doc corpus built deterministically from
-    the driver's customer×nation tables, in hash_mode='md5' so the DuckDB
-    oracle replicates every gate and score exactly.  Returns kg_groundings.
-
-    The synth-corpus pipeline path stays covered by __spark_entry__.entry()
-    (driver smoke) and tests/test_pipeline_e2e.py (independent pandas
-    oracle)."""
-    import tempfile
-
-    from imgfact_spark.io import TableStore
-    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
-
+def _e2e_inputs(spark, sf_dir):
+    """Interleaved-doc corpus + kb + templates, built deterministically
+    from the driver's customer×nation tables with expressions both engines
+    reproduce (shared by kg_construct_e2e / kg_construct_triples)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 400)
     n = _t(spark, sf_dir, "nation")
     key = F.col("c_custkey")
@@ -1453,6 +1440,27 @@ def kg_construct_e2e(spark, sf_dir):
         [(rel, "{} " + ph + " {}.") for rel, ph in _E2E_RELS],
         "p string, template string",
     )
+    return docs, kb, r2d
+
+
+@_register("kg_construct_e2e")
+def kg_construct_e2e(spark, sf_dir):
+    """Flagship: the FULL KG-construction pipeline (spans → mention
+    detection → entity linking → visual gates → whitelist → grounding join
+    → scoring → thresholds → per-triple top-K → canonical rewrite), driven
+    end-to-end over an interleaved-doc corpus built deterministically from
+    the driver's customer×nation tables, in hash_mode='md5' so the DuckDB
+    oracle replicates every gate and score exactly.  Returns kg_groundings.
+
+    The synth-corpus pipeline path stays covered by __spark_entry__.entry()
+    (driver smoke) and tests/test_pipeline_e2e.py (independent pandas
+    oracle)."""
+    import tempfile
+
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    docs, kb, r2d = _e2e_inputs(spark, sf_dir)
     store = TableStore(tempfile.mkdtemp(prefix="imgfact_e2e_"))
     res = run_pipeline(
         spark, docs, r2d, kb, store,
@@ -1469,6 +1477,65 @@ def kg_construct_e2e(spark, sf_dir):
 
 
 ORACLES["kg_construct_e2e"] = _e2e_oracle_sql()
+
+
+def _e2e_triples_oracle_sql() -> str:
+    """kg_triples-level oracle over the same driver-table corpus: triples =
+    candidates surviving the vcc entity gate, n_docs = distinct doc count
+    (whitelist gates are zeroed in the query config, so they pass all)."""
+    vcc = _MD5U.format(expr="'vcc|' || e")
+    case_p = (
+        "CASE CAST(c_custkey % 3 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{rel}'" for i, (rel, _) in enumerate(_E2E_RELS[:2])
+        )
+        + f" ELSE '{_E2E_RELS[2][0]}' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT 'd' || c_custkey AS doc_id,
+             'cust_' || (c_custkey % 97) AS s,
+             {case_p} AS p,
+             'nat_' || n_nationkey AS o
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey <= 400
+    ),
+    ents AS (SELECT DISTINCT s AS e FROM base
+             UNION SELECT DISTINCT o AS e FROM base),
+    vcc AS (SELECT e FROM ents WHERE {vcc} >= 0.02)
+    SELECT s, p, o, COUNT(DISTINCT doc_id) AS n_docs
+    FROM base
+    WHERE s IN (SELECT e FROM vcc) AND o IN (SELECT e FROM vcc)
+    GROUP BY s, p, o
+    """
+
+
+@_register("kg_construct_triples")
+def kg_construct_triples(spark, sf_dir):
+    """The kg_triples product of the same md5-mode pipeline run as
+    kg_construct_e2e — certifies the canonical-rewrite + distinct-doc
+    aggregation layer (subset tag projected out: its hash is
+    engine-internal xxhash by design)."""
+    import tempfile
+
+    from imgfact_spark.io import TableStore
+    from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
+
+    docs, kb, r2d = _e2e_inputs(spark, sf_dir)
+    store = TableStore(tempfile.mkdtemp(prefix="imgfact_e2e_t_"))
+    res = run_pipeline(
+        spark, docs, r2d, kb, store,
+        PipelineConfig(
+            min_evidence=1, vcc_threshold=0.02, relation_min_total=0,
+            relation_min_count=0, checkpoint="final", lineage_stats=False,
+            hash_mode="md5",
+        ),
+        input_fingerprint="e2e:driver:400",
+    )
+    return res.kg_triples.select("s", "p", "o", "n_docs")
+
+
+ORACLES["kg_construct_triples"] = _e2e_triples_oracle_sql()
 
 
 # =========================================================================
