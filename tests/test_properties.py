@@ -123,15 +123,3 @@ def test_quantize_python_twin_bounds_and_monotone(xs):
         assert qs[a] <= qs[b]
 
 
-@given(st.lists(st.text(st.characters(whitelist_categories=("Ll",)), min_size=1, max_size=6), min_size=1, max_size=30))
-@settings(max_examples=100, deadline=None)
-def test_contamination_ratio_in_unit_interval(tokens):
-    """Contamination semantics twin: ratio always in [0,1]; identical
-    corpus/test text ⇒ ratio 1."""
-    text = " ".join(tokens)
-    n = 3
-    toks = text.split(" ")
-    grams = {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
-    hits = len(grams & grams)
-    ratio = hits / len(grams)
-    assert ratio == 1.0
