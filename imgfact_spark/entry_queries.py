@@ -286,7 +286,7 @@ def j2_abstract_image_join(spark, sf_dir):
     "j3_visual_ratio",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS vis_count,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS vis_count,
            COUNT(*) AS all_count,
            FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) * 10000 / COUNT(*)) / 10000 AS ratio
     FROM orders GROUP BY o_orderpriority HAVING COUNT(*) >= 20
@@ -299,6 +299,12 @@ def j3_visual_ratio(spark, sf_dir):
     Ratio is truncated via floor(x*1e4)/1e4 on BOTH engines: DuckDB's
     ``ROUND`` on a ``* 1.0`` literal yields DECIMAL (round-1 driver hash
     mismatch), while floor over identical IEEE double ops is bitwise equal.
+
+    The oracle's ``SUM(CASE ...)`` is explicitly CAST to BIGINT: DuckDB's
+    integer SUM returns HUGEINT, which pandas materializes as float64 while
+    Spark emits int64 — a dtype-family mismatch under the driver's
+    pandas-dtype-tagged hash even when values are identical (the round-1/2
+    driver hash failure).
     """
     o = _t(spark, sf_dir, "orders")
     return (

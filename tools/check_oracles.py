@@ -2,14 +2,21 @@
 mimicking the driver: row count, schema width, order-insensitive value
 comparison (columns sorted by name, rows sorted).
 
-Stricter than the round-1 version (whose ``%.9g`` normalization masked the
-j3 DECIMAL-vs-DOUBLE driver hash mismatch): cells are type-tagged (Decimal /
-float / int / bool compare as distinct families, as pandas dtype hashing
-does in the driver), floats compare at full shortest-round-trip precision,
-and nested/unhashable cells (list/dict/set/tuple/Row) are hard errors — the
-driver's pandas canonicalizer cannot hash them."""
+Round-3 rewrite: both sides are canonicalized at the PANDAS layer — Spark
+via ``toPandas()``, DuckDB via ``.df()`` — and every cell is tagged with its
+column's pandas dtype FAMILY (int / float / bool / datetime / object).  The
+round-2 version fetched the DuckDB side with ``fetchall()``, which converts
+HUGEINT to a Python int and thereby masked exactly the dtype-family
+divergence that made j3 pass locally while failing the driver for two
+rounds (DuckDB integer SUM → HUGEINT → pandas float64, Spark → int64).
 
-from __future__ import annotations
+Families are intentionally width-insensitive (int32 == int64) — the driver
+accepts row_number (Spark int32) vs ROW_NUMBER (DuckDB int64) — but family
+crossings (int vs float, float vs Decimal-object) are hash failures, as
+they are in the driver.  Nested/unhashable cells (list/ndarray/dict) are
+hard errors: the driver's pandas canonicalizer cannot hash them, even for
+rows-only queries (round-1 a2 erred this way).
+"""
 
 import importlib.util
 import math
@@ -17,6 +24,8 @@ import sys
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -25,33 +34,77 @@ TABLES = [
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def norm_cell(v):
+def _family(dtype) -> str:
+    """Pandas dtype → family tag the driver's hash distinguishes."""
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "i"
+    if kind == "f":
+        return "f"
+    if kind == "b":
+        return "b"
+    if kind == "M":
+        return "dt"
+    return "O"
+
+
+def _is_null(v) -> bool:
     if v is None:
-        return "\x00null"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, (list, dict, set, tuple, bytearray)):
+        return True
+    if isinstance(v, float) and math.isnan(v):
+        return True
+    if v is pd.NaT:
+        return True
+    try:
+        return bool(pd.isna(v)) if not isinstance(v, (list, tuple, set, dict, np.ndarray)) else False
+    except (TypeError, ValueError):
+        return False
+
+
+def norm_cell(v, family: str):
+    """Canonical string for one cell, prefixed with its dtype family."""
+    if isinstance(v, (list, dict, set, tuple, bytearray, np.ndarray)):
         raise TypeError(
             f"nested/unhashable cell type {type(v).__name__!r} — the driver's "
             "pandas canonicalizer errors on these; flatten (to_json / "
             "string-serialize) before registering"
         )
+    if _is_null(v):
+        return f"{family}:\x00null"
+    if family == "i":
+        return f"i:{int(v)}"
+    if family == "f":
+        fv = float(v)
+        return "f:nan" if math.isnan(fv) else f"f:{fv!r}"
+    if family == "b":
+        return f"b:{bool(v)}"
+    if family == "dt":
+        return f"dt:{pd.Timestamp(v).isoformat()}"
+    # object column: tag the per-cell python type (a Decimal in an object
+    # column is a different hash input than a float64 column — keep it so).
     if isinstance(v, Decimal):
-        return f"dec:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "f:nan"
-        return f"f:{v!r}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    return str(v)
+        return f"O.dec:{v}"
+    if isinstance(v, bool):
+        return f"O.b:{v}"
+    if isinstance(v, (int, np.integer)):
+        return f"O.i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        return "O.f:nan" if math.isnan(fv) else f"O.f:{fv!r}"
+    if isinstance(v, bytes):
+        return f"O.bytes:{v.hex()}"
+    return f"O.s:{v}"
 
 
-def df_key_rows(cols, rows):
+def canon(pdf: pd.DataFrame):
+    """(sorted lower-cols, column-family map, sorted canonical row keys)."""
+    cols = [c.lower() for c in pdf.columns]
+    fams = [_family(pdf.dtypes.iloc[i]) for i in range(len(cols))]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["\x01".join(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+    raw = list(pdf.itertuples(index=False, name=None))
+    rows = ["\x01".join(norm_cell(r[i], fams[i]) for i in order) for r in raw]
+    rows.sort()
+    return [cols[i] for i in order], {cols[i]: fams[i] for i in order}, rows
 
 
 def main(only: list[str] | None = None):
@@ -77,9 +130,7 @@ def main(only: list[str] | None = None):
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = [c.lower() for c in sdf.columns]
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: spark error: {str(e)[:2000]}")
@@ -89,46 +140,58 @@ def main(only: list[str] | None = None):
             # The driver canonicalizes the Spark side even without an oracle
             # (round-1 a2 erred this way) — so nested cells fail rows-only too.
             try:
-                df_key_rows(scols, srows)
+                canon(spdf)
             except TypeError as e:
                 failures.append((name, f"rows-only canonicalize: {e}"))
                 print(f"✗ {name}: {e}")
                 continue
-            print(f"~ {name}: rows-only ({len(srows)} rows)")
-            if len(srows) == 0:
+            print(f"~ {name}: rows-only ({len(spdf)} rows)")
+            if len(spdf) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0].lower() for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(sql).df()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"✗ {name}: duckdb error: {str(e)[:500]}")
             continue
         ok = True
         msgs = []
-        if len(srows) != len(drows):
+        if len(spdf) != len(dpdf):
             ok = False
-            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+            msgs.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
+        if sorted(c.lower() for c in spdf.columns) != sorted(
+            c.lower() for c in dpdf.columns
+        ):
             ok = False
-            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+            msgs.append(
+                f"cols spark={sorted(c.lower() for c in spdf.columns)} "
+                f"duck={sorted(c.lower() for c in dpdf.columns)}"
+            )
         if ok:
             try:
-                _, sk = df_key_rows(scols, srows)
-                _, dk = df_key_rows(dcols, drows)
+                _, sfam, sk = canon(spdf)
+                _, dfam, dk = canon(dpdf)
             except TypeError as e:
                 ok = False
+                sfam = dfam = {}
                 sk = dk = []
                 msgs.append(f"canonicalize: {e}")
-            if sk != dk:
+            if ok and sfam != dfam:
+                ok = False
+                diff = {
+                    c: (sfam.get(c), dfam.get(c))
+                    for c in sfam
+                    if sfam.get(c) != dfam.get(c)
+                }
+                msgs.append(f"dtype-family mismatch (spark,duck): {diff}")
+            if ok and sk != dk:
                 ok = False
                 ndiff = sum(1 for a, b in zip(sk, dk) if a != b)
                 examples = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
                 msgs.append(f"value mismatch in {ndiff}/{len(sk)} rows; ex: {examples}")
         if ok:
-            print(f"✓ {name} ({len(srows)} rows)")
+            print(f"✓ {name} ({len(spdf)} rows)")
         else:
             failures.append((name, "; ".join(msgs)))
             print(f"✗ {name}: {'; '.join(msgs)[:600]}")
