@@ -137,6 +137,98 @@ def p5_score_threshold(spark, sf_dir):
 
 
 @_register(
+    "p6_dual_threshold",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+    ),
+    scored AS (
+      SELECT l_orderkey, l_linenumber,
+             ((('0x' || substr(md5(concat_ws('|', 'e1', l_orderkey::VARCHAR,
+                                              l_linenumber::VARCHAR)), 1, 15))::BIGINT
+               % 1000000) / CAST(1000000 AS DOUBLE)) AS score_s,
+             ((('0x' || substr(md5(concat_ws('|', 'e2', l_orderkey::VARCHAR,
+                                              l_linenumber::VARCHAR)), 1, 15))::BIGINT
+               % 1000000) / CAST(1000000 AS DOUBLE)) AS score_o
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           (score_s + score_o) / 2 AS avg_score, score_s, score_o
+    FROM scored
+    WHERE score_s >= 0.87 AND score_o >= 0.87
+    """,
+)
+def p6_dual_threshold(spark, sf_dir):
+    """P6: dual-threshold AND — two independent per-entity scores must BOTH
+    clear 0.87; kept rows emit (avg, score_s, score_o)
+    (ptuningfilter_ent.py:32,60-65 — predlabels = label_s * label_o, the
+    product of binary labels, with the averaged-score result tuple).
+    Scores are the md5-mode deterministic kernel, bitwise-identical in
+    DuckDB; previously this gate was only driver-checked inside the e2e
+    pipeline chain."""
+    from imgfact_spark.functions.scoring import det_score_col
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
+    s1 = det_score_col(F.lit("e1"), "l_orderkey", "l_linenumber", hash_mode="md5")
+    s2 = det_score_col(F.lit("e2"), "l_orderkey", "l_linenumber", hash_mode="md5")
+    scored = li.withColumn("score_s", s1).withColumn("score_o", s2)
+    return scored.filter(
+        (F.col("score_s") >= 0.87) & (F.col("score_o") >= 0.87)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("score_s") + F.col("score_o")) / 2).alias("avg_score"),
+        "score_s",
+        "score_o",
+    )
+
+
+@_register(
+    "s5_json_roundtrip",
+    """
+    SELECT doc_id AS pair,
+           substr(text, 1, 40) AS pos_sent,
+           'n1:' || doc_id || '|' || 'n2:' || doc_id AS negs
+    FROM documents
+    """,
+)
+def s5_json_roundtrip(spark, sf_dir):
+    """S5+S14: JSONL parse + JSON serialize as one roundtrip — each doc is
+    serialized to a JSON line (``to_json`` = the S14 dict-sink format,
+    prepare_data.py:40 json.dump) and parsed back with a typed schema
+    (``from_json`` = the S5 line reader, CPgen.py:78-87 json.loads with
+    pair/pos_sent/neg_sents[:N] slicing).  The oracle pins the parsed
+    values, proving serialize∘parse is the identity on real text (quotes,
+    unicode and control chars included)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(
+            F.col("doc_id").alias("pair"),
+            F.substring("text", 1, 40).alias("pos_sent"),
+            F.array(
+                F.concat(F.lit("n1:"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("n2:"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("n3:"), F.col("doc_id").cast("string")),
+            ).alias("neg_sents"),
+        )
+    )
+    parsed = d.select(
+        F.from_json(
+            payload, "pair bigint, pos_sent string, neg_sents array<string>"
+        ).alias("j")
+    )
+    return parsed.select(
+        F.col("j.pair").alias("pair"),
+        F.col("j.pos_sent").alias("pos_sent"),
+        F.concat_ws("|", F.slice("j.neg_sents", 1, 2)).alias("negs"),
+    )
+
+
+@_register(
     "p8_blacklist_filter",
     """
     SELECT o_orderkey, o_orderpriority FROM orders
@@ -423,6 +515,74 @@ def j8_theta_diff_partner(spark, sf_dir):
 
 
 @_register(
+    "j8b_diff_partner_pop",
+    """
+    WITH base AS (
+      SELECT l_orderkey, MIN(l_partkey) AS l_partkey, l_linenumber
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey, l_linenumber
+    ),
+    p AS (
+      SELECT l_orderkey, l_partkey, CAST(l_linenumber AS VARCHAR) AS img
+      FROM base
+    ),
+    k AS (
+      SELECT *,
+             md5(concat_ws(chr(31), '998244353', l_orderkey::VARCHAR,
+                           l_partkey::VARCHAR, img)) AS ok
+      FROM p
+    ),
+    sz AS (
+      SELECT l_orderkey, l_partkey, COUNT(*) AS csz
+      FROM k GROUP BY l_orderkey, l_partkey
+    ),
+    szo AS (
+      SELECT *,
+             COALESCE(SUM(csz) OVER (PARTITION BY l_orderkey
+                                     ORDER BY csz DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS coff,
+             MAX(csz) OVER (PARTITION BY l_orderkey) AS m,
+             SUM(csz) OVER (PARTITION BY l_orderkey) AS n
+      FROM sz
+    ),
+    pos AS (
+      SELECT k.l_orderkey, k.l_partkey, k.img,
+             szo.coff + ROW_NUMBER() OVER (PARTITION BY k.l_orderkey, k.l_partkey
+                                           ORDER BY k.ok, k.img) - 1 AS pos,
+             szo.m, szo.n
+      FROM k JOIN szo ON k.l_orderkey = szo.l_orderkey
+                     AND k.l_partkey = szo.l_partkey
+    ),
+    tgt AS (SELECT *, (pos + m) % n AS tgt FROM pos)
+    SELECT a.l_orderkey, a.l_partkey, b.img AS img, a.img AS img_orig
+    FROM tgt a JOIN tgt b ON a.l_orderkey = b.l_orderkey AND a.tgt = b.pos
+    """,
+)
+def j8b_diff_partner_pop(spark, sf_dir):
+    """J8/O6 pop semantics as an operator query: evalprep.diff_image_partner
+    rotation pairing — each group's images PERMUTED (given away exactly
+    once, the reference's get_diff_img pop, app_p_prepare_data.py:46-56),
+    crossing the differ-class boundary wherever the pigeonhole allows.
+    The oracle replicates the class-contiguous layout + max-class-shift
+    rotation with identical md5 order keys."""
+    from imgfact_spark.evalprep import diff_image_partner
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_partkey").alias("l_partkey"))
+    )
+    pairs = li.select(
+        "l_orderkey", "l_partkey", F.col("l_linenumber").cast("string").alias("img")
+    )
+    return diff_image_partner(
+        pairs, group_col="l_orderkey", differ_cols=("l_partkey",), img_col="img"
+    )
+
+
+@_register(
     "j11_round_robin_modulo",
     """
     SELECT o_orderkey,
@@ -582,6 +742,155 @@ def a9_ranking_metrics(spark, sf_dir):
         F.round(F.avg(F.when(F.col("rnk") == 1, 1.0).otherwise(0.0)), 6).alias("hit1"),
         F.round(F.avg(1.0 / F.col("rnk")), 6).alias("mrr"),
         F.round(F.avg(F.col("rnk").cast("double")), 6).alias("mr"),
+    )
+
+
+@_register(
+    "a9_weighted_prf",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             MAX(l_extendedprice) AS price, MAX(l_returnflag) AS cls
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ),
+    ranked AS (
+      SELECT l_orderkey, l_linenumber, cls,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY price DESC, l_linenumber) AS rnk
+      FROM base
+    ),
+    samples AS (
+      SELECT t.l_orderkey, t.cls AS y_true, p.cls AS y_pred, t.rnk AS rank_true
+      FROM ranked t
+      JOIN ranked p ON t.l_orderkey = p.l_orderkey AND p.rnk = 1
+      WHERE t.l_linenumber = 1
+    ),
+    per_true AS (
+      SELECT y_true AS cls, COUNT(*) AS support,
+             CAST(SUM(CASE WHEN y_pred = y_true THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM samples GROUP BY y_true
+    ),
+    per_pred AS (SELECT y_pred AS cls, COUNT(*) AS npred FROM samples GROUP BY y_pred),
+    cl AS (
+      SELECT t.cls, t.support, t.tp, COALESCE(p.npred, 0) AS npred
+      FROM per_true t LEFT JOIN per_pred p ON t.cls = p.cls
+    ),
+    terms AS (
+      SELECT cls,
+             CASE WHEN npred > 0
+                  THEN CAST(support AS DOUBLE) * tp / npred ELSE 0.0 END AS prec_term,
+             CAST(support AS DOUBLE) * 2 * tp / (npred + support) AS f1_term
+      FROM cl
+    ),
+    folded AS (
+      SELECT list_dot_product(list(prec_term ORDER BY cls),
+                              list(CAST(1.0 AS DOUBLE) ORDER BY cls)) AS prec_sum,
+             list_dot_product(list(f1_term ORDER BY cls),
+                              list(CAST(1.0 AS DOUBLE) ORDER BY cls)) AS f1_sum
+      FROM terms
+    ),
+    tot AS (
+      SELECT CAST(SUM(support) AS BIGINT) AS n,
+             CAST(SUM(tp) AS BIGINT) AS tp_total
+      FROM cl
+    ),
+    h AS (
+      SELECT CAST(SUM(CASE WHEN rank_true <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5
+      FROM samples
+    )
+    SELECT CAST(h.hits5 AS DOUBLE) / tot.n AS hit5,
+           FLOOR(folded.prec_sum / tot.n * 1000000) / 1000000 AS weighted_prec,
+           CAST(tot.tp_total AS DOUBLE) / tot.n AS weighted_rec,
+           FLOOR(folded.f1_sum / tot.n * 1000000) / 1000000 AS weighted_f1
+    FROM folded, tot, h
+    """,
+)
+def a9_weighted_prf(spark, sf_dir):
+    """A9 completion: hit@5 + support-weighted precision/recall/F1 over the
+    top-1 prediction, the remaining metrics of the reference's eval table
+    (multimodal_naive.py:270-279 — sklearn ``average="weighted"``,
+    ``zero_division=0``).
+
+    Per sample (order): y_true = class of the designated true item
+    (l_linenumber=1), y_pred = class of the top-ranked-by-price item,
+    rank_true = the true item's rank.  Weighted recall reduces exactly to
+    sum(tp)/N (micro accuracy); per-class F1 uses the algebraic identity
+    f1_c = 2·tp_c/(npred_c+support_c), which equals 2PR/(P+R) with sklearn's
+    zero_division=0 convention.  Cross-class double sums are folded
+    SEQUENTIALLY over class-sorted arrays on both engines (Spark
+    F.aggregate fold == DuckDB list_dot_product with a ones vector —
+    bitwise-equal per the house determinism rule), then floor-truncated at
+    1e-6; hit5 and weighted_rec are exact integer ratios needing no
+    truncation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_extendedprice").alias("price"),
+        F.max("l_returnflag").alias("cls"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("price"), F.asc("l_linenumber")
+    )
+    ranked = base.withColumn("rnk", F.row_number().over(w))
+    truth = ranked.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey", F.col("cls").alias("y_true"), F.col("rnk").alias("rank_true")
+    )
+    pred = ranked.filter(F.col("rnk") == 1).select(
+        "l_orderkey", F.col("cls").alias("y_pred")
+    )
+    samples = truth.join(pred, "l_orderkey")
+    per_true = samples.groupBy(F.col("y_true").alias("cls")).agg(
+        F.count("*").alias("support"),
+        F.sum(F.when(F.col("y_pred") == F.col("y_true"), 1).otherwise(0)).alias("tp"),
+    )
+    per_pred = samples.groupBy(F.col("y_pred").alias("cls")).agg(
+        F.count("*").alias("npred")
+    )
+    cl = per_true.join(per_pred, "cls", "left").na.fill({"npred": 0})
+    terms = cl.select(
+        "cls",
+        "support",
+        "tp",
+        F.when(
+            F.col("npred") > 0,
+            F.col("support").cast("double") * F.col("tp") / F.col("npred"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("prec_term"),
+        (
+            F.col("support").cast("double")
+            * 2
+            * F.col("tp")
+            / (F.col("npred") + F.col("support"))
+        ).alias("f1_term"),
+    )
+
+    def _fold(col):
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("cls"), F.col(col).alias("v")))
+        )
+        return F.aggregate(
+            F.transform(arr, lambda x: x["v"]), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    folded = terms.agg(
+        _fold("prec_term").alias("prec_sum"),
+        _fold("f1_term").alias("f1_sum"),
+        F.sum("support").alias("n"),
+        F.sum("tp").alias("tp_total"),
+    )
+    hits = samples.agg(
+        F.sum(F.when(F.col("rank_true") <= 5, 1).otherwise(0)).alias("hits5")
+    )
+    return folded.crossJoin(hits).select(
+        (F.col("hits5").cast("double") / F.col("n")).alias("hit5"),
+        (F.floor(F.col("prec_sum") / F.col("n") * 1000000) / 1000000).alias(
+            "weighted_prec"
+        ),
+        (F.col("tp_total").cast("double") / F.col("n")).alias("weighted_rec"),
+        (F.floor(F.col("f1_sum") / F.col("n") * 1000000) / 1000000).alias(
+            "weighted_f1"
+        ),
     )
 
 
@@ -1302,20 +1611,89 @@ def s_quantize_embeddings(spark, sf_dir):
     )
 
 
-@_register("s_ivf_topk")  # rows-only: float k-means training not SQL-replicable
+def _ivf_oracle_sql() -> str:
+    """Oracle for s_ivf_topk: the spherical-k-means centroids are trained
+    by :func:`ivf_train_centroids_numpy` — an exact numpy replica of the
+    query's ``ivf_train_centroids(deterministic=True)`` (md5 init,
+    sequential-fold dots, sorted sequential-fold means) — then embedded as
+    double literals.  Assignment / nprobe probing are replicated with
+    ``list_sort`` over (−dot, index) structs, the DuckDB twin of the
+    query's JVM sort_array ranking; rerank mirrors the s_lsh_topk oracle.
+    Trains over the driver's sf0.01 parquet (the scale the driver compares
+    at, like every oracle here)."""
+    import numpy as np
+    import pandas as _pd
+
+    from imgfact_spark.operators.similarity import ivf_train_centroids_numpy
+
+    pdf = _pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    cents = ivf_train_centroids_numpy(ids, mat, n_cells=16, n_iters=3, seed=42)
+
+    structs = ", ".join(
+        "{'d': -list_dot_product(v, ["
+        + ",".join(repr(float(x)) for x in cent)
+        + f"]), 'i': {i}}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    r AS (
+      SELECT vec_id, v,
+             list_transform(list_sort([{structs}]), x -> x.i) AS cell_rank
+      FROM c
+    ),
+    a AS (SELECT vec_id, cell_rank[1] AS cell FROM r),
+    q AS (
+      SELECT vec_id AS query_id, UNNEST(list_slice(cell_rank, 1, 4)) AS cell
+      FROM r WHERE vec_id < 5
+    ),
+    cand AS (SELECT DISTINCT q.query_id, a.vec_id FROM q JOIN a USING (cell)),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_dot_product(ca.v, qq.v)
+                   / (sqrt(list_dot_product(ca.v, ca.v))
+                      * sqrt(list_dot_product(qq.v, qq.v))), 6) AS cosine
+      FROM cand
+      JOIN c ca ON ca.vec_id = cand.vec_id
+      JOIN c qq ON qq.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_register("s_ivf_topk")
 def s_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (spherical k-means coarse quantizer + nprobe
-    cell probing) — the second ANN scale path next to LSH.  Rows-only:
-    Lloyd training iterates BLAS means whose float summation order DuckDB
-    cannot reproduce bitwise; recall and determinism are pinned by
+    cell probing) — the second ANN scale path next to LSH.  The driver
+    query runs ``method='column', deterministic=True``: sequential JVM fold
+    dots + order-independent sorted-fold training means, so the trained
+    centroids are bitwise-replicable in numpy and injectable into the
+    DuckDB oracle as literals (was rows-only in rounds 1-2).  The BLAS
+    pandas path's recall and determinism stay pinned by
     tests/test_similarity.py::test_ivf_*."""
     from imgfact_spark.operators.similarity import ivf_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, q, dim=64, k=5, n_cells=16, nprobe=4)
+    return ivf_topk(
+        e, q, dim=64, k=5, n_cells=16, nprobe=4,
+        method="column", deterministic=True,
+    )
+
+
+ORACLES["s_ivf_topk"] = _ivf_oracle_sql()
 
 
 _E2E_RELS = [
@@ -2144,3 +2522,97 @@ def x_multiway_join_rollup(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@_register(
+    "r_select_results",
+    """
+    WITH s AS (SELECT DISTINCT o_orderpriority AS settings FROM orders),
+    grid AS (
+      SELECT settings, model, sub_task FROM s
+      CROSS JOIN (SELECT UNNEST(['text', 'naive', 'vilt']) AS model)
+      CROSS JOIN (SELECT UNNEST(['messy', 'p', 'o', 'spo']) AS sub_task)
+    ),
+    mm AS (
+      SELECT 'predict_s' AS task, settings, model, sub_task,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|hit1'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS hit1,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|hit5'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS hit5,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|mrr'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS mrr,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|mr'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS mr,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|f1'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS f1,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|rec'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS rec,
+             ((('0x' || substr(md5('rm|' || settings || '|' || model || '|' || sub_task || '|prec'), 1, 15))::BIGINT % 1000000) / CAST(1000000 AS DOUBLE)) AS prec
+      FROM grid
+    ),
+    text_spo AS (SELECT * FROM mm WHERE model = 'text' AND sub_task = 'spo'),
+    chk AS (
+      SELECT x.settings,
+             CASE WHEN CAST(x.hit1 < y.hit1 AS INT) + CAST(x.hit5 < y.hit5 AS INT)
+                       + CAST(x.mrr < y.mrr AS INT) + CAST(x.mr > y.mr AS INT) >= 2
+                  THEN 1 ELSE 0 END AS passed
+      FROM mm x JOIN text_spo y ON x.settings = y.settings
+      WHERE x.model IN ('naive', 'vilt') AND x.sub_task = 'messy'
+      UNION ALL
+      SELECT x.settings,
+             CASE WHEN CAST(x.hit1 < y.hit1 AS INT) + CAST(x.hit5 < y.hit5 AS INT)
+                       + CAST(x.mrr < y.mrr AS INT) + CAST(x.mr > y.mr AS INT) >= 2
+                  THEN 1 ELSE 0 END AS passed
+      FROM text_spo x JOIN mm y ON x.settings = y.settings
+      WHERE y.model IN ('naive', 'vilt') AND y.sub_task IN ('p', 'o')
+      UNION ALL
+      SELECT x.settings,
+             CASE WHEN CAST(x.hit1 < y.hit1 AS INT) + CAST(x.hit5 < y.hit5 AS INT)
+                       + CAST(x.mrr < y.mrr AS INT) + CAST(x.mr > y.mr AS INT) >= 2
+                  THEN 1 ELSE 0 END AS passed
+      FROM mm x JOIN mm y ON x.settings = y.settings AND x.model = y.model
+                         AND y.sub_task = 'spo'
+      WHERE x.model IN ('naive', 'vilt') AND x.sub_task IN ('p', 'o')
+    ),
+    good AS (
+      SELECT settings, CAST(SUM(passed) AS BIGINT) AS good_metric
+      FROM chk GROUP BY settings
+    )
+    SELECT mm.task, mm.settings, mm.model, mm.sub_task,
+           hit1, hit5, mrr, mr, f1, rec, prec, good_metric
+    FROM mm JOIN good ON mm.settings = good.settings
+    WHERE good.good_metric >= 5
+      AND ((mm.model = 'text' AND mm.sub_task = 'spo')
+           OR mm.model IN ('naive', 'vilt'))
+    """,
+)
+def r_select_results(spark, sf_dir):
+    """Results collation + selection (result_v2.py:1-80): per-settings
+    good_metric from the expected metric orderings (messy < text < entity
+    < spo), selected rows emitted with the score attached.  The metrics
+    substrate is a deterministic md5-kernel grid over the orders
+    priorities × model × sub_task — both engines derive identical exact
+    rationals, so every ordering comparison matches bitwise."""
+    from imgfact_spark.functions.scoring import det_score_col
+    from imgfact_spark.results import METRIC_COLS, select_results
+
+    s = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("settings"))
+        .distinct()
+    )
+    models = spark.createDataFrame(
+        [("text",), ("naive",), ("vilt",)], "model string"
+    )
+    subs = spark.createDataFrame(
+        [("messy",), ("p",), ("o",), ("spo",)], "sub_task string"
+    )
+    grid = s.crossJoin(F.broadcast(models)).crossJoin(F.broadcast(subs))
+    metrics = grid.select(
+        F.lit("predict_s").alias("task"),
+        "settings",
+        "model",
+        "sub_task",
+        *[
+            det_score_col(
+                F.lit("rm"), "settings", "model", "sub_task", F.lit(name),
+                hash_mode="md5",
+            ).alias(name)
+            for name in METRIC_COLS
+        ],
+    )
+    return select_results(metrics, task="predict_s", threshold=5)

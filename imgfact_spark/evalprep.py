@@ -123,18 +123,32 @@ def diff_image_partner(
     group_col: str = "p",
     differ_cols: tuple[str, ...] = ("s", "o"),
     img_col: str = "img_path",
-    max_scan: int = 32,
     seed: int = 998244353,
 ) -> DataFrame:
-    """J8/O6: within each ``group_col`` group, swap each row's image with
-    that of another group member whose ``differ_cols`` differ; fallback to
-    self after ``max_scan`` candidates (the reference's ``get_diff_img``
-    pop-with-fallback, app_p_prepare_data.py:46-56 /
-    p_entity_setup.py:44-54).
+    """J8/O6: within each ``group_col`` group, give each row the image of
+    another group member whose ``differ_cols`` differ — WITHOUT
+    replacement: every image is given away exactly once (the reference's
+    ``get_diff_img`` POPS the partner from the shared dict,
+    app_p_prepare_data.py:46-56 / p_entity_setup.py:44-54; rounds 1-2 here
+    reused images, diverging on skewed groups).
 
-    Distributed: one window per group (partitionBy group_col — groups are
-    relation/entity keyed, so parallelism = group cardinality), md5-seeded
-    order, candidates via ``collect_list`` over ``rowsBetween(1, max_scan)``.
+    Re-expressed as rotation pairing, the distributed form of a greedy
+    pop: within a group of n rows, rows are laid out class-contiguously
+    (class = the ``differ_cols`` tuple; classes ordered by size desc then
+    value, rows within a class by seeded md5 key) and every row takes the
+    image of the row ``m`` positions ahead (cyclically), where m = largest
+    class size.  The shift is a PERMUTATION of the group — each image used
+    exactly once — and lands in a different class for every row whenever
+    m ≤ n/2; when one class holds more than half the group, exactly the
+    pigeonhole-unavoidable 2m−n rows of that class receive same-class
+    images (the reference's give-up branch, which also pops).  A lone row
+    keeps its own image.
+
+    Shuffle shape: a per-(group, class) count aggregate, two windows
+    partitioned by group (class offsets over the class-sized relation, row
+    ranks over the data), and one positional self-join on (group, pos) —
+    every stage keyed by the relation/entity group, so parallelism =
+    group cardinality and no state ever exceeds a partition.
     """
     cols = pairs.columns
     order_key = F.md5(
@@ -142,28 +156,42 @@ def diff_image_partner(
             "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]
         )
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_key.alias("_ok"))
-        .rowsBetween(1, max_scan)
+    d = pairs.withColumn("_ok", order_key)
+
+    sizes = d.groupBy(group_col, *differ_cols).agg(F.count("*").alias("_csz"))
+    w_cls = Window.partitionBy(group_col).orderBy(
+        F.desc("_csz"), *[F.asc(c) for c in differ_cols]
     )
-    cand_struct = F.struct(
-        *[F.col(c).alias(f"d_{c}") for c in differ_cols],
-        F.col(img_col).alias("im"),
+    w_grp = Window.partitionBy(group_col)
+    sizes = (
+        sizes.withColumn(
+            "_coff",
+            F.coalesce(
+                F.sum("_csz").over(
+                    w_cls.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_m", F.max("_csz").over(w_grp))
+        .withColumn("_n", F.sum("_csz").over(w_grp))
     )
-    cands = F.collect_list(cand_struct).over(w)
-    differs = lambda x: F.exists(
-        F.array(*[(x[f"d_{c}"] != F.col(c)).cast("int") for c in differ_cols]),
-        lambda b: b == 1,
+
+    w_row = Window.partitionBy(group_col, *differ_cols).orderBy("_ok", img_col)
+    placed = (
+        d.join(sizes, [group_col, *differ_cols])
+        .withColumn("_pos", F.col("_coff") + F.row_number().over(w_row) - 1)
+        .withColumn("_tgt", (F.col("_pos") + F.col("_m")) % F.col("_n"))
     )
-    swapped = F.coalesce(
-        F.try_element_at(F.filter(cands, differs), F.lit(1))["im"],
-        F.col(img_col),
+    donors = placed.select(
+        F.col(group_col),
+        F.col("_pos").alias("_tgt"),
+        F.col(img_col).alias("_donor_img"),
     )
     return (
-        pairs.withColumn("_sw", swapped)
+        placed.join(donors, [group_col, "_tgt"])
         .withColumnRenamed(img_col, f"{img_col}_orig")
-        .withColumnRenamed("_sw", img_col)
+        .withColumnRenamed("_donor_img", img_col)
         .select(*cols, f"{img_col}_orig")
     )
 
@@ -245,8 +273,13 @@ def split_sets(
         F.md5(F.concat_ws("\x1f", F.lit(str(seed)), "s", "p", "o", "img_path")),
         1, 15,
     )
-    t1 = format(int(weights[0] * 16**15), "015x")
-    t2 = format(int((weights[0] + weights[1]) * 16**15), "015x")
+    # clamp: a cumulative weight of 1.0 would render as the 16-char
+    # '1000000000000000', which compares LESS than 15-char hex keys
+    # lexicographically and would invert the split (everything starting
+    # 'f...' fell through to test even at zero test weight)
+    cap = 16**15 - 1
+    t1 = format(min(int(weights[0] * 16**15), cap), "015x")
+    t2 = format(min(int((weights[0] + weights[1]) * 16**15), cap), "015x")
     tagged = pairs.withColumn(
         "_split",
         F.when(key < t1, "train").when(key < t2, "dev").otherwise("test"),

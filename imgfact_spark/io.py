@@ -315,8 +315,18 @@ def compact_table(
         writer = writer.partitionBy(*part_by)
     writer.parquet(tmp)
 
-    shutil.rmtree(src)
-    os.rename(tmp, src)
+    # atomic swap: never a moment where the committed table is deleted but
+    # the compacted copy not yet in place (rmtree-then-rename left a crash
+    # window that lost the table while the marker still pointed at it)
+    old = src + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(src, old)
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        os.rename(old, src)  # roll back: the original table stays live
+        raise
+    shutil.rmtree(old)
     meta["committed_at"] = time.time()
     with open(store._marker_path(name), "w") as f:
         json.dump(meta, f)

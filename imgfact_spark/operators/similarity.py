@@ -251,6 +251,7 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    deterministic: bool = False,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF (the second ANN scale
     path next to LSH; FAISS-style IVF over a DataFrame).
@@ -262,6 +263,16 @@ def ivf_train_centroids(
     ``n_cells × dim``-row aggregate (driver-sized), the standard
     map-reduce k-means shape that survives any corpus size.
     Returns the (n_cells, dim) L2-normalized centroid matrix.
+
+    ``deterministic=True`` makes the result BITWISE-reproducible regardless
+    of partitioning or merge order (and exactly replicable in numpy —
+    :func:`ivf_train_centroids_numpy` — which is what lets the driver query
+    inject the trained centroids into a DuckDB oracle as literals):
+    assignment uses sequential JVM fold dots instead of BLAS, and the
+    recentre means fold each (cell, pos) value list in SORTED order, so the
+    float sum no longer depends on partial-aggregation order.  The sorted
+    fold collects per-group values, so this mode is for oracle/test scale;
+    the default map-reduce partial-sum path is the 100 TB one.
     """
     key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
     init_rows = (
@@ -278,18 +289,27 @@ def ivf_train_centroids(
     norms[norms == 0] = 1.0
     cents = cents / norms
 
+    method = "column" if deterministic else "pandas"
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     for _ in range(n_iters):
-        assigned = _assign_cells(c, cents, vec_col)
-        sums = (
-            assigned.select("_cell", F.posexplode(vec_col).alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
-            .collect()
-        )
+        assigned = _assign_cells(c, cents, vec_col, method=method)
+        vals = assigned.select("_cell", F.posexplode(vec_col).alias("_pos", "_x"))
+        if deterministic:
+            stats = vals.groupBy("_cell", "_pos").agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_x")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("_s"),
+                F.count("*").alias("_n"),
+            ).collect()
+        else:
+            stats = vals.groupBy("_cell", "_pos").agg(
+                F.sum("_x").alias("_s"), F.count("*").alias("_n")
+            ).collect()
         new = cents.copy()
         acc = {}
-        for r in sums:
+        for r in stats:
             acc.setdefault(r["_cell"], np.zeros(dim))[r["_pos"]] = r["_s"] / r["_n"]
         for cell, vec in acc.items():
             n = np.linalg.norm(vec)
@@ -299,9 +319,80 @@ def ivf_train_centroids(
     return cents
 
 
-def _assign_cells(df: DataFrame, centroids: np.ndarray, vec_col: str) -> DataFrame:
+def ivf_train_centroids_numpy(
+    ids: np.ndarray,
+    mat: np.ndarray,
+    n_cells: int = 64,
+    n_iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Exact numpy replica of ``ivf_train_centroids(deterministic=True)``:
+    same md5 init, sequential-fold dots (``cumsum`` IS the left fold), and
+    sorted sequential-fold means — bitwise-equal centroids.  Used by the
+    s_ivf_topk oracle builder to embed the trained centroids as SQL
+    literals without a SparkSession, and by tests to pin the two paths."""
+    import hashlib
+
+    keys = [
+        hashlib.md5(f"{seed}\x1f{i}".encode()).hexdigest() for i in ids.tolist()
+    ]
+    order = sorted(range(len(keys)), key=lambda j: keys[j])[:n_cells]
+    cents = mat[order].astype("float64").copy()
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+
+    m = mat.astype("float64")
+    dim = m.shape[1]
+    for _ in range(n_iters):
+        # sequential left-fold dot: cumsum of elementwise products
+        dots = np.cumsum(m[:, None, :] * cents[None, :, :], axis=2)[:, :, -1]
+        cells = np.argmax(dots, axis=1)  # first max == smallest index tie-break
+        new = cents.copy()
+        for cell in np.unique(cells):
+            sub = m[cells == cell]
+            vec = np.zeros(dim)
+            for pos in range(dim):
+                vals = np.sort(sub[:, pos])
+                vec[pos] = np.cumsum(vals)[-1] / len(vals)
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cents = new
+    return cents
+
+
+def _cell_rank_array(vec_col: str, centroids: np.ndarray):
+    """Column expression: array of cell indices ordered by descending
+    sequential-fold dot(v, centroid) with index tie-break — the JVM twin of
+    DuckDB ``list_sort([{d: -list_dot_product(v, C_i), i: i}, ...])``."""
+    structs = []
+    for i, cent in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in cent])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct((-dot).alias("d"), F.lit(i).cast("int").alias("i"))
+        )
+    return F.transform(F.sort_array(F.array(*structs)), lambda x: x["i"])
+
+
+def _assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, method: str = "pandas"
+) -> DataFrame:
     """df + ``_cell`` = argmax cosine against the (broadcast-closed-over)
-    centroid matrix — one Arrow-batched BLAS matmul per batch."""
+    centroid matrix.  ``pandas``: one Arrow-batched BLAS matmul per batch
+    (the throughput path).  ``column``: sequential JVM fold dots, bitwise
+    reproducible and DuckDB-replicable (argmax over raw dots — positive
+    scaling by 1/||v|| never changes the argmax, so normalization is
+    skipped)."""
+    if method == "column":
+        return df.withColumn(
+            "_cell", _cell_rank_array(vec_col, centroids)[0]
+        )
     ct = centroids.T  # (dim, n_cells)
 
     @F.pandas_udf("int")
@@ -328,31 +419,70 @@ def ivf_topk(
     nprobe: int = 8,
     n_iters: int = 3,
     seed: int = 42,
+    method: str = "pandas",
+    deterministic: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and reranks those
     candidates exactly — shuffle cost ∝ probed-cell sizes, not
     |corpus|×|queries| (the FAISS IVF shape re-expressed as a cell equi-join).
+
+    Probe assignment is DISTRIBUTED: the same closed-over centroid matrix
+    that assigns corpus cells scores every query batch, taking the
+    top-``nprobe`` per query (round-2 ran a driver-side Python loop over
+    ``queries.collect()`` — the one undistributed compute in the ANN tier;
+    at 10^6 queries that materialized every vector on the driver).  The
+    probe relation inherits the query id's type from ``queries`` itself, so
+    non-long ids work.
+
+    ``method="pandas"`` (default): Arrow-batched BLAS matmuls for cell
+    assignment and probing.  ``method="column"`` + ``deterministic=True``:
+    sequential JVM fold dots everywhere and order-independent training —
+    bitwise-replicable in DuckDB with the trained centroids as literals
+    (the oracle-checked driver query s_ivf_topk).
     """
     cents = ivf_train_centroids(
-        corpus, dim, n_cells, n_iters, id_col, vec_col, seed
+        corpus, dim, n_cells, n_iters, id_col, vec_col, seed,
+        deterministic=deterministic,
     )
     assigned = snapshot(
         _assign_cells(
-            ensure_parallelism(corpus.select(id_col, vec_col)), cents, vec_col
+            ensure_parallelism(corpus.select(id_col, vec_col)),
+            cents,
+            vec_col,
+            method=method,
         )
     )
 
-    qrows = queries.select(query_id_col, vec_col).collect()
-    qprobe = []
-    for r in qrows:
-        v = np.asarray(r[vec_col], dtype="float64")
-        n = np.linalg.norm(v)
-        sims = cents @ (v / n if n > 0 else v)
-        order = np.argsort(-sims, kind="stable")[:nprobe]
-        qprobe.extend((r[query_id_col], int(c)) for c in order)
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(qprobe, f"{query_id_col} long, _cell int")
+    nprobe_eff = min(nprobe, len(cents))
+    if method == "column":
+        probes = (
+            queries.select(query_id_col, vec_col)
+            .withColumn(
+                "_cells",
+                F.slice(_cell_rank_array(vec_col, cents), 1, nprobe_eff),
+            )
+            .select(query_id_col, F.explode("_cells").alias("_cell"))
+        )
+    else:
+        ct = cents.T  # (dim, n_cells)
+
+        @F.pandas_udf("array<int>")
+        def probe_udf(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            mat = np.vstack(v.to_numpy()).astype("float64")
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (mat / nrm) @ ct  # (batch, n_cells)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe_eff]
+            return pd.Series([row.astype("int32") for row in order])
+
+        probes = (
+            queries.select(query_id_col, vec_col)
+            .withColumn("_cells", probe_udf(F.col(vec_col)))
+            .select(query_id_col, F.explode("_cells").alias("_cell"))
+        )
 
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cand = (

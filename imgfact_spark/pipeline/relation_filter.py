@@ -37,6 +37,50 @@ def visual_relation_ratio(
     )
 
 
+def visual_relation_ratio_fused(
+    candidates: DataFrame,
+    visual: DataFrame,
+    min_total: int = 20,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Same (p, vis_count, all_count, ratio) relation as
+    :func:`visual_relation_ratio`, computed in ONE aggregation pass.
+
+    The two-input form costs two shuffled aggregations over the candidate
+    table plus a join (and its callers sorted a relation nobody reads in
+    order).  Here visual membership is attached as broadcast-join flags and
+    both counts come out of a single groupBy(p) — one candidate scan, one
+    tiny shuffle, no sort.  Identical values by construction: ``visual``
+    is unique per entity, so the left joins never duplicate rows and
+    ``vis_count`` counts exactly the double-semi-join survivors.
+    Unsorted: the whitelist consumer is order-insensitive; use the
+    two-input form when the reference's sorted report is wanted
+    (gen_visual_relations.py:16-31).
+    """
+    v = visual.select("entity")
+    if broadcast_dim:
+        v = F.broadcast(v)
+    flagged = candidates.select("s", "p", "o").join(
+        v.select(F.col("entity").alias("s"), F.lit(1).alias("_vs")), "s", "left"
+    ).join(
+        v.select(F.col("entity").alias("o"), F.lit(1).alias("_vo")), "o", "left"
+    )
+    return (
+        flagged.groupBy("p")
+        .agg(
+            F.count("*").alias("all_count"),
+            F.sum(
+                F.when(
+                    F.col("_vs").isNotNull() & F.col("_vo").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("vis_count"),
+        )
+        .filter(F.col("all_count") >= min_total)
+        .withColumn("ratio", F.round(F.col("vis_count") / F.col("all_count"), 4))
+        .select("p", "vis_count", "all_count", "ratio")
+    )
+
+
 def select_relations(
     ratio_df: DataFrame, min_count: int = 50, min_ratio: float = 0.0
 ) -> DataFrame:

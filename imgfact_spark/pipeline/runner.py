@@ -153,11 +153,14 @@ def run_pipeline(
         persisted.append(candidates)
     else:
         candidates = candidates_full
+    # `visual` feeds two consumers (the candidate gate and the fused ratio),
+    # so in final mode it is persisted; it is entity-dimension-sized.
     visual = _stage(
         "visual_entities",
         lambda: entity_filter.visual_entities(
             media, cfg.min_evidence, cfg.vcc_threshold, hash_mode=cfg.hash_mode
         ),
+        shared=True,
     )
     vis_cand = _stage(
         "visual_candidates",
@@ -167,8 +170,14 @@ def run_pipeline(
     )
 
     def _whitelisted():
-        ratio = relation_filter.visual_relation_ratio(
-            vis_cand, candidates, min_total=cfg.relation_min_total
+        # one-pass flagged aggregation (identical values to the two-agg
+        # join form, minus one candidate scan, one shuffle and a sort
+        # nobody consumed — the gate-phase fixed cost was measurably the
+        # pipeline's scheduling-latency tail at bench scale)
+        ratio = relation_filter.visual_relation_ratio_fused(
+            candidates, visual,
+            min_total=cfg.relation_min_total,
+            broadcast_dim=cfg.broadcast_entity_dims,
         )
         wl = relation_filter.select_relations(ratio, min_count=cfg.relation_min_count)
         return relation_filter.apply_relation_whitelist(vis_cand, wl)

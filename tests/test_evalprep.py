@@ -103,23 +103,45 @@ def test_messy_variant_cross_cluster(spark, kg):
 
 
 def test_diff_image_partner_constraint(spark):
-    """J8 pop semantics: swapped image comes from the same group but a row
-    whose differ columns differ; self only when no such partner exists."""
+    """J8 pop semantics (without replacement): each group's images are
+    PERMUTED — every image given away exactly once — crossing the
+    differ-class boundary wherever the pigeonhole allows; lone rows keep
+    their own image."""
     rows = [
         ("r1", "a", "x", "i1"), ("r1", "b", "y", "i2"), ("r1", "a", "x", "i3"),
         ("r2", "c", "z", "i4"),  # lone row in its group → self
     ]
     pairs = spark.createDataFrame(rows, "p string, s string, o string, img_path string")
-    got = {r["img_path_orig"]: r for r in
-           evalprep.diff_image_partner(pairs, group_col="p", differ_cols=("s", "o")).collect()}
+    out = evalprep.diff_image_partner(
+        pairs, group_col="p", differ_cols=("s", "o")
+    ).collect()
+    got = {r["img_path_orig"]: r for r in out}
     assert got["i4"]["img_path"] == "i4"  # no partner
-    orig = {"i1": ("a", "x"), "i2": ("b", "y"), "i3": ("a", "x")}
-    for img in ("i1", "i2", "i3"):
-        r = got[img]
-        if r["img_path"] != img:
-            assert orig[r["img_path"]] != (r["s"], r["o"])
-    # i2 (the only (b,y) row) must have found a partner among the (a,x) rows
+    # bijective within the group: assigned images == original images
+    assert sorted(got[i]["img_path"] for i in ("i1", "i2", "i3")) == ["i1", "i2", "i3"]
+    # i2 (the lone (b,y) row) must receive an (a,x) image
     assert got["i2"]["img_path"] in ("i1", "i3")
+    # the big class (a,x) has m=2 > n/2=1.5 → exactly 2m-n = 1 of its rows
+    # is pigeonhole-forced to a same-class image; the other crosses to i2
+    ax_targets = {got["i1"]["img_path"], got["i3"]["img_path"]}
+    assert "i2" in ax_targets
+    assert len(ax_targets & {"i1", "i3"}) == 1
+
+
+def test_diff_image_partner_bijective_balanced(spark):
+    """When no class exceeds half the group, EVERY row crosses classes and
+    the assignment is still a permutation."""
+    rows = [("g", s, "x", f"i{j}") for j, s in enumerate(["a", "a", "b", "b", "c", "c"])]
+    pairs = spark.createDataFrame(rows, "p string, s string, o string, img_path string")
+    out = evalprep.diff_image_partner(
+        pairs, group_col="p", differ_cols=("s",), img_col="img_path"
+    ).collect()
+    orig_class = {f"i{j}": s for j, s in enumerate(["a", "a", "b", "b", "c", "c"])}
+    assert sorted(r["img_path"] for r in out) == sorted(r["img_path_orig"] for r in out)
+    for r in out:
+        assert orig_class[r["img_path"]] != r["s"], (
+            f"{r['img_path_orig']} got same-class image {r['img_path']}"
+        )
 
 
 def test_build_eval_namespace_full_matrix(spark, kg):
@@ -153,3 +175,17 @@ def test_build_eval_namespace_full_matrix(spark, kg):
     # diff-image products keep row count and carry provenance
     assert ns["predict_o/p"].count() == pairs.count()
     assert "img_path_orig" in ns["predict_p/s"].columns
+
+
+def test_split_sets_degenerate_weights(spark):
+    """Cumulative weight 1.0 must not invert the threshold comparison: with
+    a zero test weight no row may land in test (the 16-char threshold
+    string bug)."""
+    rows = [(f"s{i}", "p", f"o{i}", f"img{i}") for i in range(64)]
+    pairs = spark.createDataFrame(rows, "s string, p string, o string, img_path string")
+    sets = evalprep.split_sets(pairs, weights=(0.8, 0.2, 0.0))
+    counts = {k: v.count() for k, v in sets.items()}
+    assert counts["test"] == 0
+    assert counts["train"] + counts["dev"] == 64
+    sets_all_train = evalprep.split_sets(pairs, weights=(1.0, 0.0, 0.0))
+    assert sets_all_train["train"].count() == 64

@@ -217,3 +217,36 @@ def test_messy_swap_plan_has_no_global_window(spark):
         df, key_cols=["row_id"], target_bucket_rows=200
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_visual_ratio_fused_matches_two_agg_form(spark):
+    """relation_filter.visual_relation_ratio_fused (one-pass flags agg)
+    must emit exactly the rows of the two-aggregation join form."""
+    from pyspark.sql import functions as F
+
+    from imgfact_spark.pipeline import entity_filter, relation_filter
+
+    cand = spark.createDataFrame(
+        [
+            (f"d{i}", f"e{i % 7}", f"p{i % 3}", f"e{(i * 5) % 7}")
+            for i in range(200)
+        ],
+        "doc_id string, s string, p string, o string",
+    )
+    visual = spark.createDataFrame(
+        [(f"e{i}",) for i in range(5)], "entity string"
+    )
+    vis_cand = entity_filter.filter_visual_triples(cand, visual)
+    want = {
+        (r["p"], r["vis_count"], r["all_count"], r["ratio"])
+        for r in relation_filter.visual_relation_ratio(
+            vis_cand, cand, min_total=10
+        ).collect()
+    }
+    got = {
+        (r["p"], r["vis_count"], r["all_count"], r["ratio"])
+        for r in relation_filter.visual_relation_ratio_fused(
+            cand, visual, min_total=10
+        ).collect()
+    }
+    assert got == want and len(got) > 0

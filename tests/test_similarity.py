@@ -218,3 +218,62 @@ def test_ivf_tiny_corpus_degrades_gracefully(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(Exception):
         ivf_train_centroids(empty, dim=4, n_cells=4)
+
+
+def test_ivf_deterministic_training_matches_numpy_replica(spark):
+    """deterministic=True Spark training must be BITWISE-equal to
+    ivf_train_centroids_numpy (the oracle builder's replica): md5 init,
+    sequential-fold dots, sorted sequential-fold means."""
+    from imgfact_spark.operators.similarity import (
+        ivf_train_centroids,
+        ivf_train_centroids_numpy,
+    )
+
+    df, vecs = _vectors(spark)
+    d = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    got = ivf_train_centroids(d, DIM, n_cells=8, n_iters=3, deterministic=True)
+    want = ivf_train_centroids_numpy(
+        np.arange(N), vecs.astype("float64"), n_cells=8, n_iters=3
+    )
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), "centroids diverge bitwise"
+    # and repartitioning must not change a single bit
+    got2 = ivf_train_centroids(
+        d.repartition(7), DIM, n_cells=8, n_iters=3, deterministic=True
+    )
+    assert np.array_equal(got, got2)
+
+
+def test_ivf_column_mode_matches_pandas_candidates(spark):
+    """column-mode ivf_topk (sequential dots, the oracle path) retrieves
+    the planted self-match for every query and is partitioning-invariant."""
+    from imgfact_spark.operators.similarity import ivf_topk
+
+    df, _ = _vectors(spark)
+    d = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = d.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(
+            d, q, dim=DIM, k=5, n_cells=8, nprobe=4,
+            method="column", deterministic=True,
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, i, 1) in a  # self cosine 1.0 ranks first
+    b = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(
+            d.repartition(5), q.repartition(2), dim=DIM, k=5, n_cells=8,
+            nprobe=4, method="column", deterministic=True,
+        ).collect()
+    }
+    assert a == b
