@@ -111,11 +111,21 @@ def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
                     }
                 )
 
-    return (
-        text_spans.filter(F.col("kind") == "text")
-        .select("doc_id", "pos", "text")
-        .mapInPandas(match_batches, schema=MENTION_SCHEMA)
-    )
+    src = text_spans.filter(F.col("kind") == "text").select("doc_id", "pos", "text")
+    # JVM-side literal prescan: a row that contains NO template's constant
+    # segment cannot match any anchored template, so it never needs to cross
+    # the Arrow boundary at all — on real corpora the overwhelming majority
+    # of text is non-factual, so this turns the kernel's input from "all
+    # text" into "plausible mentions" before a single byte is transferred.
+    # Only sound when every template has a distinctive literal; otherwise
+    # fall back to the kernel's own per-template prescan.
+    literals = [lit for _, _, lit in templates]
+    if templates and all(literals):
+        gate = F.col("text").contains(literals[0])
+        for lit in literals[1:]:
+            gate = gate | F.col("text").contains(lit)
+        src = src.filter(gate)
+    return src.mapInPandas(match_batches, schema=MENTION_SCHEMA)
 
 
 def link_entities(
