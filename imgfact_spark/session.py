@@ -22,18 +22,22 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cpus`` controls ``local[N]``; defaults to $SPARK_GRAFT_CPUS or '*'.
-    On a real cluster the master/deploy settings come from spark-submit and
-    everything here except master applies unchanged.
+    ``master`` overrides it entirely (e.g. ``local-cluster[4,1,6144]`` for
+    multi-JVM executor scaling evidence).  On a real cluster the master /
+    deploy settings come from spark-submit and everything here except
+    master applies unchanged.
     """
-    if cpus is None:
-        env = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{env}]" if env else "local[*]"
-    else:
-        master = f"local[{cpus}]"
+    if master is None:
+        if cpus is None:
+            env = os.environ.get("SPARK_GRAFT_CPUS")
+            master = f"local[{env}]" if env else "local[*]"
+        else:
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

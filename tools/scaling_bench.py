@@ -40,20 +40,39 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(cpus: int, docs_path: str, reps: int, profile: str = "fast") -> None:
+def worker(cpus: int, docs_path: str, reps: int, profile: str = "fast",
+           exec_mode: str = "threads") -> None:
     from imgfact_spark import synth
     from imgfact_spark.io import TableStore
     from imgfact_spark.pipeline.runner import PipelineConfig, run_pipeline
     from imgfact_spark.session import get_spark
 
+    # Task granularity 3× cores (shuffle AND scan splits): with exactly
+    # one task per core a single straggler stretches the whole stage —
+    # measured 26% packing loss at local[4] (stage wall 38.2s vs 30.2s
+    # ideal from summed task time).  3× matches the standard cluster
+    # sizing rule and lets the scheduler smooth stragglers at any level.
+    extra = {
+        "spark.ui.showConsoleProgress": "false",
+        "spark.driver.memory": "16g",
+        "spark.sql.files.minPartitionNum": str(3 * cpus),
+    }
+    # exec_mode='executors': N single-core executor JVMs via
+    # local-cluster[N,1,mem] — the faithful analog of "cluster sizes N and
+    # 4N" (each executor has its own heap, GC, and python workers, exactly
+    # as on a real cluster), vs 'threads' = local[N], where all tasks share
+    # one JVM heap and allocation/GC contention is a local-mode artifact.
+    master = None
+    if exec_mode == "executors":
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        master = f"local-cluster[{cpus},1,6144]"
+        extra["spark.executor.memory"] = "5g"
     spark = get_spark(
         app_name=f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=cpus,
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": "16g",
-        },
+        shuffle_partitions=3 * cpus,
+        extra_conf=extra,
+        master=master,
     )
     docs = spark.read.parquet(docs_path)
 
@@ -116,12 +135,17 @@ def main() -> None:
     ap.add_argument("--levels", type=str, default="8,32")
     ap.add_argument("--profile", type=str, default="fast",
                     choices=["fast", "model", "kernel"])
+    ap.add_argument("--exec-mode", type=str, default="threads",
+                    choices=["threads", "executors"],
+                    help="threads=local[N]; executors=local-cluster[N,1,mem] "
+                         "(N real executor JVMs — the cluster-size analog)")
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
 
     if args.worker:
         worker(int(args.rest[0]), args.rest[1], int(args.rest[2]),
-               args.rest[3] if len(args.rest) > 3 else "fast")
+               args.rest[3] if len(args.rest) > 3 else "fast",
+               args.rest[4] if len(args.rest) > 4 else "threads")
         return
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -162,7 +186,7 @@ def main() -> None:
     def run_level(n: int) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
-             str(n), docs_path, "1", args.profile],
+             str(n), docs_path, "1", args.profile, args.exec_mode],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": REPO,
                  # one BLAS thread per Spark python worker — parallelism
@@ -199,6 +223,7 @@ def main() -> None:
     eff_floor = thr_4n / (4 * thr_n)
     summary = {
         "profile": args.profile,
+        "exec_mode": args.exec_mode,
         "n_docs": args.docs,
         "reps_per_level": args.reps,
         "levels": {
@@ -214,7 +239,8 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    out_path = os.path.join(REPO, "BENCH", f"SCALING_{args.profile}.json")
+    suffix = "" if args.exec_mode == "threads" else f"_{args.exec_mode}"
+    out_path = os.path.join(REPO, "BENCH", f"SCALING_{args.profile}{suffix}.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)

@@ -36,10 +36,11 @@ def worker(cpus: int, docs_path: str, log_dir: str) -> None:
     spark = get_spark(
         app_name=f"profile_{cpus}",
         cpus=cpus,
-        shuffle_partitions=cpus,
+        shuffle_partitions=3 * cpus,  # match scaling_bench task granularity
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.driver.memory": "16g",
+            "spark.sql.files.minPartitionNum": str(3 * cpus),
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{log_dir}",
         },
@@ -69,9 +70,23 @@ def parse_log(log_dir: str) -> list[dict]:
         if not f.startswith(".")
     ]
     path = max(files, key=os.path.getmtime)
+    if os.path.isdir(path):  # Spark 4 rolling event log: a directory of parts
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.startswith("events")
+        )
+    else:
+        parts = [path]
     stages: dict[int, dict] = {}
-    with open(path) as fh:
-        for line in fh:
+
+    def _lines(p):
+        if p.endswith(".zstd"):
+            out = subprocess.run(["zstd", "-dc", p], capture_output=True, check=True)
+            return out.stdout.decode().splitlines()
+        with open(p) as fh:
+            return fh.readlines()
+
+    for part in parts:
+        for line in _lines(part):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
