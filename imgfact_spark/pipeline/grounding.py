@@ -123,17 +123,24 @@ def score_groundings_model_sim(
     The reference's grounding filters run CLIP on every (image, text) pair
     (ptuningfilter.py:33-47) — GFLOPs per row — so the engine's scaling
     behavior under a compute-dominated kernel is the representative one.
-    Outputs are deterministic pure functions of (s,p,o,media_ref) (stable
-    across partitionings/runs) but follow the encoder's score distribution,
-    not the calibrated-uniform one; use the default column path for
-    oracle-matched decisions.
+    Outputs are deterministic pure functions of (s,p,o,media_ref) — the
+    6-decimal round absorbs BLAS batch-shape ulps, making scores stable
+    across partitionings/runs — but follow the encoder's score
+    distribution, not the calibrated-uniform one; use the default column
+    path for oracle-matched decisions.
 
-    Shape: one Arrow-batched mapInPandas; per batch ONE vectorized hash per
+    Shape: a SCALAR Arrow-batched pandas UDF over only the four key
+    columns, returning a struct of the three scores — every other gc
+    column stays JVM-side instead of round-tripping through the Python
+    worker (the mapInPandas form shipped full rows both ways; measured
+    ~2× Arrow traffic on a wide gc).  Per batch ONE vectorized hash per
     score key, sinusoidal expansion to ``width`` dims, ``layers`` tanh
     matmuls (BLAS), logistic readout.  No per-row Python.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
     rng = np.random.RandomState(seed)
     planes = [
@@ -142,10 +149,6 @@ def score_groundings_model_sim(
     ]
     readout = rng.standard_normal(width).astype("float64") / np.sqrt(width)
     freqs = (rng.uniform(0.5, 2.0, width) * 2 * np.pi).astype("float64")
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in gc.schema.fields
-    ) + ", score double, score_s double, score_o double"
 
     def encode(keys: "pd.Series") -> "np.ndarray":
         h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
@@ -156,20 +159,32 @@ def score_groundings_model_sim(
         z = x @ readout
         return 1.0 / (1.0 + np.exp(-3.0 * z))
 
-    def score_batches(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pair_key = (
-                "pair|" + pdf["s"] + "|" + pdf["p"] + "|" + pdf["o"]
-                + "|" + pdf["media_ref"]
-            )
-            s_key = "ent|" + pdf["s"] + "|" + pdf["media_ref"]
-            o_key = "ent|" + pdf["o"] + "|" + pdf["media_ref"]
-            pdf = pdf.copy()
-            pdf["score"] = np.round(encode(pair_key), 6)
-            pdf["score_s"] = np.round(0.75 + 0.25 * encode(s_key), 6)
-            pdf["score_o"] = np.round(0.75 + 0.25 * encode(o_key), 6)
-            yield pdf
+    def _scores(s, p, o, media_ref):
+        pair_key = "pair|" + s + "|" + p + "|" + o + "|" + media_ref
+        s_key = "ent|" + s + "|" + media_ref
+        o_key = "ent|" + o + "|" + media_ref
+        return pd.DataFrame(
+            {
+                "score": np.round(encode(pair_key), 6),
+                "score_s": np.round(0.75 + 0.25 * encode(s_key), 6),
+                "score_o": np.round(0.75 + 0.25 * encode(o_key), 6),
+            }
+        )
 
-    return gc.mapInPandas(score_batches, schema=out_schema)
+    # real annotations (module uses `from __future__ import annotations`,
+    # which breaks pandas_udf type-hint inference — CLAUDE.md)
+    _scores.__annotations__ = {
+        "s": pd.Series, "p": pd.Series, "o": pd.Series,
+        "media_ref": pd.Series, "return": pd.DataFrame,
+    }
+    struct = T.StructType(
+        [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("score_s", T.DoubleType()),
+            T.StructField("score_o", T.DoubleType()),
+        ]
+    )
+    scores_udf = pandas_udf(_scores, returnType=struct)
+    return gc.withColumn(
+        "_ms", scores_udf("s", "p", "o", "media_ref")
+    ).select(*gc.columns, "_ms.score", "_ms.score_s", "_ms.score_o")

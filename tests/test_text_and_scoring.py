@@ -103,3 +103,33 @@ def test_doc_fingerprint_normalization(spark):
     )
     got = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
     assert got[0] == got[1] != got[2]
+
+
+def test_model_sim_scorer_partition_deterministic(spark):
+    """score_groundings_model_sim (M2/M3 numpy stand-in) is a pure function
+    of (s,p,o,media_ref): identical scores regardless of partitioning, all
+    non-key columns pass through JVM-side, scores in (0,1]."""
+    from imgfact_spark.pipeline.grounding import score_groundings_model_sim
+
+    rows = [
+        (f"d{i}", f"s{i % 7}", f"p{i % 3}", f"o{i % 5}", f"img://x/{i}", "TL001")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, s string, p string, o string, media_ref string, subset string"
+    )
+    a = score_groundings_model_sim(df.repartition(1)).orderBy("doc_id").collect()
+    b = score_groundings_model_sim(df.repartition(13)).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert set(a[0].asDict()) == {
+        "doc_id", "s", "p", "o", "media_ref", "subset",
+        "score", "score_s", "score_o",
+    }
+    assert all(0.0 < r.score <= 1.0 and 0.0 < r.score_s <= 1.0 for r in a)
+    # same key -> same score regardless of the surrounding rows
+    by_key = {}
+    for r in a:
+        by_key.setdefault((r.s, r.p, r.o, r.media_ref), set()).add(
+            (r.score, r.score_s, r.score_o)
+        )
+    assert all(len(v) == 1 for v in by_key.values())
