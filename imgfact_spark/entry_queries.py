@@ -2616,3 +2616,123 @@ def r_select_results(spark, sf_dir):
         ],
     )
     return select_results(metrics, task="predict_s", threshold=5)
+
+
+@_register(
+    "t_bm25_topk",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, len(t) AS dl, t FROM base),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, dl, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM docs, UNNEST(t) AS u(term)
+      WHERE u.term IN ('spark', 'join', 'hash', 'window')
+      GROUP BY doc_id, dl, u.term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl))
+               AS c
+      FROM tf JOIN dfreq d ON tf.term = d.term, stats s
+    ),
+    folded AS (
+      SELECT doc_id,
+             list_dot_product(list(c ORDER BY term),
+                              list(CAST(1.0 AS DOUBLE) ORDER BY term)) AS raw
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, FLOOR(raw * 1000000) / 1000000 AS score
+    FROM folded
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def t_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 for a 4-term query over the documents corpus
+    (operators/retrieval.bm25_topk) — ranked lexical retrieval, the corpus
+    operation the reference's exact-key pool lookups (imgfact_api/
+    imgfact.py retrieve_*) do not cover.  Query-term filter applied inside
+    the token array BEFORE the explode (shuffle carries only hits); per-doc
+    term sums folded sequentially over term-sorted arrays on both engines;
+    k1=1.2, b=0.75."""
+    from imgfact_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "join", "hash", "window"], k=20)
+
+
+@_register(
+    "t_sample_stratified",
+    r"""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             ('0x' || substr(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)
+                                 || chr(31) || lang), 1, 15))::BIGINT AS sample_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_key, doc_id)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT lang, doc_id, sample_key, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def t_sample_stratified(spark, sf_dir):
+    """Seeded 10-per-language sample (operators/sampling.sample_stratified)
+    — the distributed form of the reference's per-key shuffle-then-take
+    (p_entity_setup.py:117, s_o_prepare_data.py:40).  Integer md5 ranking:
+    reproducible across runs, partitionings and engines; WindowGroupLimit
+    bounds rank state at k per stratum."""
+    from imgfact_spark.operators.sampling import sample_stratified
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_stratified(d, strata=["lang"], k=10, seed=7)
+    return out.select("lang", "doc_id", "sample_key", "sample_rank")
+
+
+@_register(
+    "t_sample_weighted",
+    r"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('11' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              + 1) / CAST(1152921504606846976 AS DOUBLE) AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           FLOOR((-ln(u) / n_chars) * 1000000000) / 1000000000 AS sample_key
+    FROM keyed
+    ORDER BY (-ln(u) / n_chars), doc_id LIMIT 25
+    """,
+)
+def t_sample_weighted(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample of 25 docs, weight = n_chars
+    (operators/sampling.sample_weighted): rank ascending by -ln(u)/w with
+    u the seeded unit-interval md5 value — inclusion probability ∝ weight,
+    deterministic given (seed, ids, weights).  The ORDER BY uses the raw
+    key (u is an exact rational, -ln(u)/w evaluated identically by both
+    engines' libm); the EMITTED key is floor-truncated at 1e-9 so the
+    hash-compare never hinges on the final ulp."""
+    from imgfact_spark.operators.sampling import sample_weighted
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = sample_weighted(d, k=25, seed=11, weight_col="n_chars")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        (F.floor(F.col("sample_key") * 1e9) / 1e9).alias("sample_key"),
+    )

@@ -23,3 +23,10 @@ from imgfact_spark.operators.similarity import (  # noqa: F401
     lsh_topk,
 )
 from imgfact_spark.operators.clustering import cluster_representatives  # noqa: F401
+from imgfact_spark.operators.retrieval import bm25_topk  # noqa: F401
+from imgfact_spark.operators.sampling import (  # noqa: F401
+    sample_global,
+    sample_stratified,
+    sample_weighted,
+    seeded_key,
+)

@@ -1,0 +1,117 @@
+"""BM25 ranked retrieval over a document corpus.
+
+The reference retrieves images/sentences for an entity pair by exact
+key lookup into pre-crawled pools (imgfact_api/imgfact.py retrieve_*;
+dataset_construction feeds them with per-pair crawls).  A text corpus at
+engine scale additionally needs ranked lexical retrieval — BM25 is the
+standard scoring function (Robertson–Spärck Jones; the Okapi BM25 form
+with the +1 idf smoothing used by Lucene/Elasticsearch).
+
+Spark shape — three bounded aggregations, no joins on the corpus side:
+
+  * tokenization + per-doc length are narrow column expressions over the
+    scan (same normalization as the dedup shingles — one house
+    tokenizer);
+  * query terms are filtered INSIDE the token array before the explode,
+    so the shuffle after it carries only query-term hits (|Q| ≤ dozens ⇒
+    a vanishing fraction of the corpus' tokens at 100 TB);
+  * corpus stats (N, avgdl) are one 1-row aggregate, attached by
+    broadcast cross-join; per-term document frequencies are ≤|Q| rows,
+    broadcast-joined;
+  * the per-doc score folds term contributions SEQUENTIALLY over a
+    term-sorted array (house determinism rule: Spark F.aggregate ==
+    DuckDB list_dot_product), floor-truncated at 1e-6; top-k plans as
+    TakeOrdered (bounded heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _tokens(text_col: str):
+    """House tokenizer (identical to the dedup shingle normalization)."""
+    return F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 for a bag of query terms.
+
+    Returns (id_col, score) with score = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)),
+    floor-truncated at 1e-6, ties broken on id_col.
+    """
+    terms = sorted(set(query_terms))
+    toks = _tokens(text_col)
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    hits = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter("_toks", lambda t: t.isin(terms))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                    / (F.col("dfreq") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    folded = contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", F.col("c").alias("v")))),
+                lambda x: x["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("raw")
+    )
+    return (
+        folded.select(
+            id_col,
+            (F.floor(F.col("raw") * 1e6) / 1e6).alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -1,0 +1,100 @@
+"""Deterministic seeded sampling — training-data-pipeline operators.
+
+The reference samples with driver-side seeded shuffles: a global
+``random.shuffle`` of the materialized corpus before training
+(CPgen.py:85-87), and per-key shuffle-then-take for the image pools
+(p_entity_setup.py:117, s_o_prepare_data.py:40).  Neither survives data
+that does not fit one process; these operators re-express the same
+"seeded, reproducible k-of-n" contract distributively:
+
+  * the shuffle key is a 60-bit integer from the md5 hex prefix of
+    (seed, id) — deterministic, engine-portable (same primitive as the
+    oracle-checked seeded operators elsewhere in this repo), and
+    integer-exact, so rankings never hinge on float ulps;
+  * global k-sample = TakeOrdered over that key (no full sort: Spark
+    keeps a bounded k-heap per partition and merges — O(n) work,
+    O(k) driver memory);
+  * stratified k-per-group = the WindowGroupLimit-optimized per-group
+    top-K operator (operators/topk.py) ordered by the key — one shuffle
+    on the stratum, rank state bounded at k per group;
+  * weighted sampling without replacement = the Efraimidis–Spirakis
+    A-Res transform (key = u^(1/w), here as -ln(u)/w ascending, u the
+    unit-interval value of the md5 integer) — a distributed analogue of
+    weighted ``random.sample``, same TakeOrdered shape.
+
+At 100 TB: the only data movement is the stratum shuffle (stratified) or
+the per-partition k-heaps (global/weighted) — never a global sort, never
+a driver-side materialization of the population.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.topk import topk_per_group
+
+_MD5_SPAN = float(1 << 60)
+
+
+def seeded_key(seed: int | str, *cols: Column | str) -> Column:
+    """60-bit non-negative bigint: ('0x'||substr(md5(seed|cols),1,15))::BIGINT
+    in DuckDB terms — the repo's engine-portable seeded-randomness primitive."""
+    parts = [F.lit(str(seed))] + [
+        F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+        for c in cols
+    ]
+    joined = F.concat_ws("\x1f", *parts)
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("bigint")
+
+
+def sample_global(
+    df: DataFrame, k: int, seed: int | str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Seeded uniform k-of-n without replacement, reproducible across runs,
+    partitionings and engines.  orderBy(key).limit(k) plans as TakeOrdered."""
+    key = seeded_key(seed, id_col).alias("sample_key")
+    return df.select("*", key).orderBy("sample_key", id_col).limit(k)
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata: list[str],
+    k: int,
+    seed: int | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded k-per-stratum (the reference's per-entity shuffle-then-take,
+    p_entity_setup.py:117) — WindowGroupLimit keeps rank state ≤ k per
+    group instead of sorting each stratum."""
+    keyed = df.withColumn("sample_key", seeded_key(seed, id_col, *strata))
+    return topk_per_group(
+        keyed,
+        keys=strata,
+        order_by=[F.asc("sample_key")],
+        k=k,
+        tiebreak=[id_col],
+        rank_col="sample_rank",
+    )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    seed: int | str,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis–Spirakis A-Res weighted sampling without replacement:
+    rank ascending by -ln(u)/w where u ∈ (0,1] derives from the seeded md5
+    integer.  Inclusion probability proportional to weight; deterministic
+    given (seed, ids, weights).  Rows with non-positive weight are excluded
+    (they cannot be drawn)."""
+    u = (seeded_key(seed, id_col) + F.lit(1)).cast("double") / F.lit(_MD5_SPAN)
+    key = (-F.log(u) / F.col(weight_col).cast("double")).alias("sample_key")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select("*", key)
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )

@@ -1,0 +1,116 @@
+"""Sampling + BM25 operators vs independent python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from imgfact_spark.operators.retrieval import bm25_topk
+from imgfact_spark.operators.sampling import (
+    sample_global,
+    sample_stratified,
+    sample_weighted,
+)
+
+
+def _md5key(seed, *parts) -> int:
+    joined = "\x1f".join([str(seed)] + [str(p) for p in parts])
+    return int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"lang{i % 3}", (i * 37) % 100 + 1,
+         " ".join(f"w{(i * 7 + j * 13) % 23}" for j in range(5 + i % 9)))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, weight long, text string"
+    )
+
+
+def test_sample_global_matches_md5_order(corpus):
+    got = [r.doc_id for r in sample_global(corpus, 17, seed=5).collect()]
+    want = sorted(range(300), key=lambda i: (_md5key(5, i), i))[:17]
+    assert got == want
+
+
+def test_sample_stratified_counts_and_determinism(corpus):
+    out = sample_stratified(corpus, ["lang"], k=8, seed=9)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert set(per) == {"lang0", "lang1", "lang2"}
+    assert all(len(v) == 8 for v in per.values())
+    # ranks are 1..k by ascending md5 key — reproduce with hashlib
+    for lang, pairs in per.items():
+        ids = [i for i in range(300) if f"lang{i % 3}" == lang]
+        want = sorted(ids, key=lambda i: (_md5key(9, i, lang), i))[:8]
+        assert [d for _, d in sorted(pairs)] == want
+    # partitioning invariance
+    again = sample_stratified(
+        corpus.repartition(13), ["lang"], k=8, seed=9
+    ).collect()
+    assert sorted((r.lang, r.doc_id, r.sample_rank) for r in again) == sorted(
+        (r.lang, r.doc_id, r.sample_rank) for r in rows
+    )
+
+
+def test_sample_weighted_matches_ares_oracle(corpus):
+    got = [r.doc_id for r in sample_weighted(corpus, 11, seed=3, weight_col="weight").collect()]
+
+    def key(i):
+        u = (_md5key(3, i) + 1) / float(1 << 60)
+        return -math.log(u) / ((i * 37) % 100 + 1)
+
+    want = sorted(range(300), key=lambda i: (key(i), i))[:11]
+    assert got == want
+
+
+def test_sample_weighted_prefers_heavy_rows(spark):
+    # two weight classes 1 vs 50: the heavy half must dominate the sample
+    rows = [(i, 50 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = sample_weighted(df, 100, seed=1, weight_col="w").collect()
+    heavy = sum(1 for r in picked if r.doc_id < 500)
+    assert heavy > 85
+
+
+def test_bm25_matches_pandas_oracle(corpus):
+    q = ["w1", "w5", "w12"]
+    got = {r.doc_id: r.score for r in bm25_topk(corpus, q, k=15).collect()}
+
+    rows = corpus.select("doc_id", "text").collect()
+    docs = {r.doc_id: r.text.split(" ") for r in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in q
+    }
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for t in sorted(q):
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[d] = math.floor(s * 1e6) / 1e6
+    want = dict(sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15])
+    assert got == pytest.approx(want, abs=2e-6)
+    assert set(got) == set(want)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    # one doc holds the rare term; it must rank first for that query
+    rows = [(0, "rare common common")] + [(i, "common common common") for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(df, ["rare", "common"], k=3).collect()
+    assert top[0].doc_id == 0
