@@ -114,3 +114,24 @@ def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     top = bm25_topk(df, ["rare", "common"], k=3).collect()
     assert top[0].doc_id == 0
+
+
+def test_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, lang string, weight long, text string")
+    assert bm25_topk(empty, ["x"], k=5).count() == 0
+    assert sample_global(empty, 5, seed=1).count() == 0
+    assert sample_stratified(empty, ["lang"], k=5, seed=1).count() == 0
+    assert sample_weighted(empty, 5, seed=1, weight_col="weight").count() == 0
+
+    tiny = spark.createDataFrame(
+        [(1, "a", 2, "hello world"), (2, "a", 0, "hello there")],
+        "doc_id long, lang string, weight long, text string",
+    )
+    # query with no corpus hits -> empty result, not an error
+    assert bm25_topk(tiny, ["zzz"], k=5).count() == 0
+    # k larger than the population / stratum -> everything, once
+    assert sample_global(tiny, 100, seed=1).count() == 2
+    assert sample_stratified(tiny, ["lang"], k=100, seed=1).count() == 2
+    # zero-weight rows are never drawn
+    picked = sample_weighted(tiny, 100, seed=1, weight_col="weight").collect()
+    assert [r.doc_id for r in picked] == [1]
