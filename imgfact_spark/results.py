@@ -119,3 +119,17 @@ def select_results(
     return out_rows.join(F.broadcast(selected), "settings").select(
         "task", "settings", "model", "sub_task", *METRIC_COLS, "good_metric"
     )
+
+
+def collate_results(metrics: DataFrame) -> DataFrame:
+    """The v1 flat collation (result.py:56-79): emit every parsed result
+    row keyed ``task sub_task settings model`` in deterministic order —
+    the reference's SelectedResults.txt dump before v2's ordering-check
+    selection was added.  One sorted projection of the metrics relation;
+    no selection, no joins."""
+    return metrics.select(
+        F.concat_ws(
+            "_", "task", "sub_task", "settings", "model"
+        ).alias("result_key"),
+        "task", "sub_task", "settings", "model", *METRIC_COLS,
+    ).orderBy("task", "sub_task", "settings", "model")

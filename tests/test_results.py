@@ -108,3 +108,25 @@ def test_select_results_threshold_gates(spark):
     assert {r["settings"] for r in got} == {
         s for s, g in want.items() if g >= hi
     }
+
+
+def test_collate_results_flat_dump(spark):
+    """v1 collation (result.py:56-79): all rows, deterministic order,
+    underscore-joined key."""
+    from imgfact_spark.results import METRIC_COLS, collate_results
+
+    rows = [
+        ("predict_s", "s1", "vilt", "spo") + tuple(float(i) / 10 for i in range(7)),
+        ("predict_o", "s1", "text", "messy") + tuple(float(i) / 5 for i in range(7)),
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "task string, settings string, model string, sub_task string, "
+        + ", ".join(f"{c} double" for c in METRIC_COLS),
+    )
+    got = collate_results(m).collect()
+    assert [r.result_key for r in got] == [
+        "predict_o_messy_s1_text",
+        "predict_s_spo_s1_vilt",
+    ]
+    assert got[0].hit5 == 0.2
