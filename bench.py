@@ -19,6 +19,8 @@ Queries:
   * cosine_topk    — brute-force cosine top-10, 50 queries × corpus.
   * lsh_topk       — LSH-bucketed ANN for the same queries.
   * messy_swap     — bucketed cyclic cross-cluster swap over events (J9).
+  * bm25_topk      — Okapi BM25 top-20 for a 4-term query over documents.
+  * sampling       — seeded stratified (1k/lang) + weighted A-Res (1k) samples.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS,
@@ -188,6 +190,28 @@ def main() -> None:
             extras["messy_rows"] = messy_swap(df, key_cols=["event_id"]).count()
 
         bench_section("messy_swap", messy_run)
+
+        def bm25_run():
+            from imgfact_spark.operators.retrieval import bm25_topk
+
+            bm25_topk(d, ["spark", "join", "hash", "window"], k=20).count()
+
+        bench_section("bm25_topk", bm25_run)
+
+        def sample_run():
+            from imgfact_spark.operators.sampling import (
+                sample_stratified,
+                sample_weighted,
+            )
+
+            sample_stratified(
+                d.select("doc_id", "lang"), ["lang"], k=1000, seed=7
+            ).count()
+            sample_weighted(
+                d.select("doc_id", "n_chars"), 1000, seed=11, weight_col="n_chars"
+            ).count()
+
+        bench_section("sampling", sample_run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
