@@ -2712,27 +2712,26 @@ def t_sample_stratified(spark, sf_dir):
              (('0x' || substr(md5('11' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
               + 1) / CAST(1152921504606846976 AS DOUBLE) AS u
       FROM documents WHERE n_chars > 0
+    ),
+    sel AS (
+      SELECT doc_id, n_chars,
+             CAST(FLOOR(LEAST(-ln(u) / n_chars, 9000000000.0) * 1000000000)
+                  AS BIGINT) AS sk
+      FROM keyed
+      ORDER BY sk, doc_id LIMIT 25
     )
-    SELECT doc_id, n_chars,
-           FLOOR((-ln(u) / n_chars) * 1000000000) / 1000000000 AS sample_key
-    FROM keyed
-    ORDER BY (-ln(u) / n_chars), doc_id LIMIT 25
+    SELECT doc_id, n_chars, sk / 1000000000.0 AS sample_key FROM sel
     """,
 )
 def t_sample_weighted(spark, sf_dir):
     """Efraimidis–Spirakis weighted sample of 25 docs, weight = n_chars
     (operators/sampling.sample_weighted): rank ascending by -ln(u)/w with
     u the seeded unit-interval md5 value — inclusion probability ∝ weight,
-    deterministic given (seed, ids, weights).  The ORDER BY uses the raw
-    key (u is an exact rational, -ln(u)/w evaluated identically by both
-    engines' libm); the EMITTED key is floor-truncated at 1e-9 so the
-    hash-compare never hinges on the final ulp."""
+    deterministic given (seed, ids, weights).  Both engines rank AND emit
+    the integer-truncated key floor(raw·1e9) (÷1e9 on emit), so neither the
+    selection cutoff at k nor the hash-compare can hinge on a libm ulp."""
     from imgfact_spark.operators.sampling import sample_weighted
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = sample_weighted(d, k=25, seed=11, weight_col="n_chars")
-    return out.select(
-        "doc_id",
-        "n_chars",
-        (F.floor(F.col("sample_key") * 1e9) / 1e9).alias("sample_key"),
-    )
+    return out.select("doc_id", "n_chars", "sample_key")

@@ -44,8 +44,30 @@ class TableStore:
     def _marker_path(self, name: str) -> str:
         return os.path.join(self.path(name), _MARKER)
 
+    def _heal(self, name: str) -> None:
+        """Recover from a crash mid :func:`compact_table` swap.  The swap
+        sets the live table aside at ``<src>._old`` before renaming the
+        compacted copy (marker already inside it) into place, so a hard
+        crash leaves exactly one of two states: (a) live dir missing or
+        marker-less while the set-aside copy holds the marker — the swap
+        never committed, restore the original; (b) live dir committed and
+        the set-aside copy still present — the swap completed, the copy is
+        leftover garbage."""
+        src = self.path(name)
+        old = src + "._old"
+        if not os.path.isdir(old):
+            return
+        if os.path.exists(self._marker_path(name)):
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.exists(os.path.join(old, _MARKER)):
+            shutil.rmtree(src, ignore_errors=True)
+            os.rename(old, src)
+            shutil.rmtree(src + "._compact", ignore_errors=True)
+
     # --------------------------------------------------------------- metadata
     def is_committed(self, name: str, input_fingerprint: str | None = None) -> bool:
+        self._heal(name)
         mp = self._marker_path(name)
         if not os.path.exists(mp):
             return False
@@ -56,6 +78,7 @@ class TableStore:
         return meta.get("input_fingerprint") == input_fingerprint
 
     def lineage(self, name: str) -> dict:
+        self._heal(name)
         with open(self._marker_path(name)) as f:
             return json.load(f)
 
@@ -164,6 +187,7 @@ class TableStore:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if self.catalog_table_prefix:
             return spark.read.table(f"{self.catalog_table_prefix}.{name}")
+        self._heal(name)
         mp = self._marker_path(name)
         if os.path.exists(mp):
             # committed schema → no inference, and empty tables read fine
@@ -315,6 +339,16 @@ def compact_table(
         writer = writer.partitionBy(*part_by)
     writer.parquet(tmp)
 
+    # the refreshed marker goes INTO the compacted copy before the swap:
+    # whichever directory ends up live after a crash carries its own marker,
+    # and TableStore._heal resolves the two possible half-swapped states
+    # (live dir marker-less/missing → restore ._old; both present → drop
+    # the ._old leftover).  Underscore-prefixed files are invisible to the
+    # parquet reader, so the marker rides along harmlessly.
+    meta["committed_at"] = time.time()
+    with open(os.path.join(tmp, _MARKER), "w") as f:
+        json.dump(meta, f)
+
     # atomic swap: never a moment where the committed table is deleted but
     # the compacted copy not yet in place (rmtree-then-rename left a crash
     # window that lost the table while the marker still pointed at it)
@@ -327,7 +361,4 @@ def compact_table(
         os.rename(old, src)  # roll back: the original table stays live
         raise
     shutil.rmtree(old)
-    meta["committed_at"] = time.time()
-    with open(store._marker_path(name), "w") as f:
-        json.dump(meta, f)
     return store.read(spark, name)

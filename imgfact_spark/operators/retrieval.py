@@ -54,8 +54,12 @@ def bm25_topk(
     Returns (id_col, score) with score = Σ_t idf(t) · tf·(k1+1) /
     (tf + k1·(1−b+b·dl/avgdl)), idf(t) = ln(1 + (N−df+0.5)/(df+0.5)),
     floor-truncated at 1e-6, ties broken on id_col.
+
+    Query terms go through the SAME normalization as the corpus tokenizer
+    (strip + lowercase; empty terms dropped) — a raw entity name like
+    'Spark' must match the lowercased corpus tokens, not silently miss.
     """
-    terms = sorted(set(query_terms))
+    terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     toks = _tokens(text_col)
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")

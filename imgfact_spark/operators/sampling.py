@@ -89,12 +89,23 @@ def sample_weighted(
     rank ascending by -ln(u)/w where u ∈ (0,1] derives from the seeded md5
     integer.  Inclusion probability proportional to weight; deterministic
     given (seed, ids, weights).  Rows with non-positive weight are excluded
-    (they cannot be drawn)."""
+    (they cannot be drawn).
+
+    Selection ranks on the INTEGER floor(key·1e9) (capped at 9e9 so the
+    bigint never overflows under ANSI; capped keys tie and fall to the id
+    tie-break — they are the least-likely draws anyway), so the cutoff at
+    the k-th row can never hinge on a libm ulp disagreement between engines
+    (Spark java.lang.Math.log vs DuckDB libm).  The emitted ``sample_key``
+    is that same integer divided by 1e9 — the selection cutoff and the
+    emitted value are one engine-stable quantity."""
     u = (seeded_key(seed, id_col) + F.lit(1)).cast("double") / F.lit(_MD5_SPAN)
-    key = (-F.log(u) / F.col(weight_col).cast("double")).alias("sample_key")
+    raw = -F.log(u) / F.col(weight_col).cast("double")
+    skey = F.floor(F.least(raw, F.lit(9.0e9)) * F.lit(1e9))  # bigint, exact
     return (
         df.filter(F.col(weight_col) > 0)
-        .select("*", key)
-        .orderBy("sample_key", id_col)
+        .select("*", skey.alias("_skey"))
+        .orderBy("_skey", id_col)
         .limit(k)
+        .select("*", (F.col("_skey") / F.lit(1e9)).alias("sample_key"))
+        .drop("_skey")
     )

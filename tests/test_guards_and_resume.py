@@ -167,3 +167,31 @@ def test_compact_table_reduces_files_preserves_contents(spark, tmp_path):
     assert sorted(map(tuple, compacted.collect())) == sorted(map(tuple, df.collect()))
     # lineage survives the rewrite
     assert store.lineage("frag")["input_fingerprint"] == "c:1"
+
+
+def test_compact_table_crash_windows_self_heal(spark, tmp_path):
+    """A hard crash mid compact-swap must never lose the committed table:
+    every reachable half-swapped state heals on the next read/is_committed."""
+    import os as _os
+    import shutil as _shutil
+
+    from imgfact_spark.io import TableStore
+
+    store = TableStore(str(tmp_path / "hstore"))
+    df = spark.range(500).selectExpr("id", "id * 2 AS v")
+    store.write(df, "t", input_fingerprint="h:1")
+    src = store.path("t")
+
+    # state (a): crash between rename(src, old) and rename(tmp, src) —
+    # live dir gone, committed copy only at ._old (marker inside)
+    _os.rename(src, src + "._old")
+    assert store.is_committed("t", "h:1")
+    assert store.read(spark, "t").count() == 500
+    assert not _os.path.isdir(src + "._old")
+
+    # state (b): crash after rename(tmp, src) but before rmtree(old) —
+    # swap completed (marker at src), stale ._old leftover
+    _shutil.copytree(src, src + "._old")
+    assert store.is_committed("t", "h:1")
+    assert not _os.path.isdir(src + "._old")
+    assert store.read(spark, "t").count() == 500

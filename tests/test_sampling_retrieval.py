@@ -61,14 +61,18 @@ def test_sample_stratified_counts_and_determinism(corpus):
 
 
 def test_sample_weighted_matches_ares_oracle(corpus):
-    got = [r.doc_id for r in sample_weighted(corpus, 11, seed=3, weight_col="weight").collect()]
+    rows = sample_weighted(corpus, 11, seed=3, weight_col="weight").collect()
+    got = [r.doc_id for r in rows]
 
     def key(i):
         u = (_md5key(3, i) + 1) / float(1 << 60)
-        return -math.log(u) / ((i * 37) % 100 + 1)
+        raw = -math.log(u) / ((i * 37) % 100 + 1)
+        return math.floor(min(raw, 9.0e9) * 1e9)  # the engine-stable rank key
 
     want = sorted(range(300), key=lambda i: (key(i), i))[:11]
     assert got == want
+    # emitted sample_key IS the selection key (÷1e9) — one quantity
+    assert [r.sample_key for r in rows] == [key(i) / 1e9 for i in want]
 
 
 def test_sample_weighted_prefers_heavy_rows(spark):
@@ -114,6 +118,18 @@ def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     top = bm25_topk(df, ["rare", "common"], k=3).collect()
     assert top[0].doc_id == 0
+
+
+def test_bm25_normalizes_query_terms(spark):
+    # raw entity-cased / padded terms must match the lowercased corpus tokens
+    df = spark.createDataFrame(
+        [(1, "Spark joins data"), (2, "flink streams data")],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(df, ["Spark"], k=5).collect()
+    assert [r.doc_id for r in top] == [1]
+    same = bm25_topk(df, [" spark ", "spark", ""], k=5).collect()
+    assert [(r.doc_id, r.score) for r in same] == [(r.doc_id, r.score) for r in top]
 
 
 def test_degenerate_inputs(spark):
