@@ -7,7 +7,11 @@ Prints exactly ONE JSON line:
 Each section runs ``SPARK_GRAFT_BENCH_REPS`` times (default 2) and reports
 the MIN — the host VM shows heavy noisy-neighbor variance (4× wall-clock
 swings on identical plans), and min-of-N is the standard estimator for the
-machine-limited cost under external noise.
+machine-limited cost under external noise.  Every rep's wall time is also
+emitted (``reps_detail``) plus the per-section median, so a noisy run is
+self-evident from one JSON line: headline min far below the other reps ⇒
+the window was noisy, not the code (the r3 driver-vs-recorded 2.4×
+minhash ambiguity, diagnosed only by archaeology, never recurs).
 
 Queries:
   * kg_construct   — full KG-construction pipeline over a pre-materialized
@@ -61,16 +65,17 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}
     extras: dict = {}
 
     def bench_section(name: str, fn) -> None:
-        best = None
+        times = []
         for _ in range(reps):
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        reps_detail[name] = times
+        timings[name] = min(times)
 
     # ---------------------------------------------------------- kg pipeline
     from imgfact_spark import synth
@@ -217,6 +222,9 @@ def main() -> None:
         spark.stop()
 
     total = round(sum(timings.values()), 3)
+    medians = {
+        k: sorted(v)[len(v) // 2] for k, v in reps_detail.items()
+    }
     print(
         json.dumps(
             {
@@ -228,6 +236,8 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "reps": reps,
+                "reps_detail": reps_detail,
+                "median": medians,
                 "throughput": extras,
             }
         )

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from imgfact_spark.operators.topk import topk_per_group
+
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 
@@ -118,4 +120,126 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def bm25_topk_queries(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> DataFrame:
+    """Top-k documents per query for a RELATION of queries — the serving
+    shape of a retrieval layer (``bm25_topk`` takes one literal term bag;
+    an inverted-index service answers many).
+
+    ``queries`` is (query_id, terms: array<string>); term bags are
+    normalized through the corpus tokenizer (strip+lower, empties dropped,
+    set semantics — matching the single-query operator exactly, which is
+    pinned as its |queries|=1 special case in tests).
+
+    Scale shape — the corpus-side work is independent of |queries|:
+
+      * the DISTINCT query-term dimension (≤ Σ|terms|, dimension-sized) is
+        collapsed to a 1-row sorted array and broadcast onto the scan, so
+        the term filter still runs INSIDE the token array BEFORE the
+        explode — the post-explode shuffle carries only query-term hits,
+        exactly like the single-query plan, regardless of how many queries
+        share a term;
+      * per-(doc, term) tf and per-term df are computed ONCE and fanned out
+        to queries by a broadcast join on the (query_id, term) relation —
+        shuffle ∝ query-term hits × queries-per-term, never |docs|×|queries|;
+      * per-(query, doc) scores fold term contributions sequentially over
+        term-sorted arrays (cross-engine exactness), then per-query top-k
+        plans as one WindowGroupLimit (rank state ≤ k per query).
+
+    Returns (query_id, id_col, score, rank).
+    """
+    qterms = queries.select(
+        query_id_col,
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.col(terms_col), lambda t: F.trim(F.lower(t))),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    # 1-row sorted term-dimension array: broadcast onto the corpus scan so
+    # the filter happens inside the token array, before the explode
+    qarr = qterms.select("term").distinct().agg(
+        F.array_sort(F.collect_set("term")).alias("_qterms")
+    )
+    toks = _tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    hits = base.crossJoin(F.broadcast(qarr)).select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter("_toks", lambda t: F.array_contains(F.col("_qterms"), t))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                    / (F.col("dfreq") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    folded = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("term", F.col("c").alias("v")))
+                    ),
+                    lambda x: x["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("raw")
+        )
+        .select(
+            query_id_col,
+            id_col,
+            (F.floor(F.col("raw") * 1e6) / 1e6).alias("score"),
+        )
+    )
+    return topk_per_group(
+        folded,
+        keys=[query_id_col],
+        order_by=[F.desc("score")],
+        k=k,
+        tiebreak=[id_col],
     )

@@ -27,6 +27,20 @@ from imgfact_spark.functions.vectors import cosine_sim
 from imgfact_spark.operators.topk import topk_per_group
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
+# The query relation is broadcast (and, for brute force, collected) under a
+# documented small-query contract.  Above this row count the plan flips to
+# shuffle joins keyed on the probe/bucket/query-id columns instead of
+# silently OOMing the executors with an over-sized broadcast.  200k rows ×
+# a 64-float vector ≈ 110 MB serialized — the upper end of what a healthy
+# executor broadcast should carry.
+DEFAULT_MAX_BROADCAST_QUERIES = 200_000
+
+
+def _query_side(df: DataFrame, n_queries: int, limit: int) -> DataFrame:
+    """Broadcast the query-derived relation when it is contract-small;
+    return it unhinted (→ shuffle hash join on the join keys) otherwise."""
+    return F.broadcast(df) if n_queries <= limit else df
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -36,6 +50,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     method: str = "column",
+    max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact cosine top-k: queries × corpus scan → window top-k.
 
@@ -45,9 +60,25 @@ def brute_force_topk(
     mapInPandas kernel doing a numpy ``(batch, dim) @ (dim, n_q)`` matmul —
     BLAS beats codegen once n_q × dim is a few thousand mults per row.
 
+    CONTRACT: brute force scores every query against every corpus row — the
+    query relation must be broadcast/collect-small.  A query set above
+    ``max_broadcast_queries`` raises (there is no join key a shuffle could
+    use; the cross product itself is the wrong algorithm at that size — use
+    ``lsh_topk`` / ``ivf_topk``, which shuffle on bucket/cell keys instead).
+
     Output: (query_id, vec_id, cosine, rank) — identical for both methods
     (tests/test_similarity.py pins them together).
     """
+    n_q = queries.count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"brute_force_topk: {n_q} queries exceeds the broadcast-small "
+            f"query contract ({max_broadcast_queries}); every query meets "
+            "every corpus row, so a large query set needs a bucketed ANN "
+            "plan — use lsh_topk or ivf_topk (their shuffle fallback "
+            "handles large query relations), or raise max_broadcast_queries "
+            "explicitly if the executors can hold the broadcast."
+        )
     if method == "pandas":
         import numpy as np
         import pandas as pd
@@ -207,6 +238,7 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     method: str = "auto",
+    max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
@@ -216,9 +248,16 @@ def lsh_topk(
     (table, sig) rows, so the corpus is scanned ONCE regardless of
     ``n_tables`` (round-1 looped n_tables separate scans).
 
+    The query-derived relations broadcast while the query set is under
+    ``max_broadcast_queries``; above it the plan degrades gracefully to
+    shuffle hash joins keyed on (table, signature) for the bucket probe and
+    on the query id for the rerank — no driver/executor materialization of
+    the query set, so a 10^7-query batch job plans instead of OOMing.
+
     ``method="column"`` forces sequential JVM dot products — bit-identical
     to DuckDB's list_dot_product, which is what the oracle-checked driver
     query uses; ``auto``/``pandas`` pick the BLAS kernel for throughput."""
+    n_q = queries.count()
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cexp = hyperplane_signatures(
@@ -229,12 +268,12 @@ def lsh_topk(
         vec_col, dim, n_planes, n_tables, seed, method=method,
     ).select(query_id_col, F.posexplode("lsh_sigs").alias("_t", "_sig"))
     cand = (
-        cexp.join(F.broadcast(qexp), ["_t", "_sig"])
+        cexp.join(_query_side(qexp, n_q, max_broadcast_queries), ["_t", "_sig"])
         .select(query_id_col, id_col, vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
     scored = (
-        cand.join(F.broadcast(q), query_id_col)
+        cand.join(_query_side(q, n_q, max_broadcast_queries), query_id_col)
         .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
         .drop("_qvec", vec_col)
     )
@@ -421,6 +460,7 @@ def ivf_topk(
     seed: int = 42,
     method: str = "pandas",
     deterministic: bool = False,
+    max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and reranks those
@@ -434,6 +474,11 @@ def ivf_topk(
     at 10^6 queries that materialized every vector on the driver).  The
     probe relation inherits the query id's type from ``queries`` itself, so
     non-long ids work.
+
+    The probe and rerank relations broadcast under ``max_broadcast_queries``
+    query rows; above it they join by shuffle instead — keyed on the cell
+    id for the probe and the query id for the rerank — so arbitrarily large
+    query batches get a plan change, not an executor OOM.
 
     ``method="pandas"`` (default): Arrow-batched BLAS matmuls for cell
     assignment and probing.  ``method="column"`` + ``deterministic=True``:
@@ -484,14 +529,15 @@ def ivf_topk(
             .select(query_id_col, F.explode("_cells").alias("_cell"))
         )
 
+    n_q = queries.count()
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cand = (
-        assigned.join(F.broadcast(probes), "_cell")
+        assigned.join(_query_side(probes, n_q, max_broadcast_queries), "_cell")
         .select(query_id_col, id_col, vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
     scored = (
-        cand.join(F.broadcast(q), query_id_col)
+        cand.join(_query_side(q, n_q, max_broadcast_queries), query_id_col)
         .withColumn("cosine", F.round(cosine_sim(vec_col, "_qvec"), 6))
         .drop("_qvec", vec_col)
     )

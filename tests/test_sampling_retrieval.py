@@ -7,7 +7,7 @@ import math
 
 import pytest
 
-from imgfact_spark.operators.retrieval import bm25_topk
+from imgfact_spark.operators.retrieval import bm25_topk, bm25_topk_queries
 from imgfact_spark.operators.sampling import (
     sample_global,
     sample_stratified,
@@ -118,6 +118,36 @@ def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     top = bm25_topk(df, ["rare", "common"], k=3).collect()
     assert top[0].doc_id == 0
+
+
+def test_bm25_queries_matches_single_query_operator(corpus, spark):
+    """Each query's top-k from the query-relation operator == the literal
+    single-query operator run per query (scores and membership)."""
+    bags = {1: ["w1", "w5"], 2: ["w12", "w3", "w7"], 3: [" W1 ", "w1", "w20"]}
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in bags.items()],
+        "query_id long, terms array<string>",
+    )
+    multi = bm25_topk_queries(corpus, qdf, k=8)
+    got = {}
+    for r in multi.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    assert set(got) == set(bags)
+    for qid, terms in bags.items():
+        want = [
+            (i + 1, r.doc_id, r.score)
+            for i, r in enumerate(bm25_topk(corpus, terms, k=8).collect())
+        ]
+        assert sorted(got[qid]) == want, f"query {qid}"
+
+
+def test_bm25_queries_degenerate(spark, corpus):
+    empty_q = spark.createDataFrame([], "query_id long, terms array<string>")
+    assert bm25_topk_queries(corpus, empty_q, k=5).count() == 0
+    no_hit = spark.createDataFrame(
+        [(1, ["zzzz"])], "query_id long, terms array<string>"
+    )
+    assert bm25_topk_queries(corpus, no_hit, k=5).count() == 0
 
 
 def test_bm25_normalizes_query_terms(spark):

@@ -100,6 +100,71 @@ def test_brute_force_pandas_method_parity(spark):
     assert a == b
 
 
+def test_query_size_guard_fallback_identical(spark):
+    """Above max_broadcast_queries the ANN plans flip from broadcast-probe
+    to shuffle joins (cell/bucket + query-id keys) with IDENTICAL results;
+    brute force raises, naming the contract."""
+    import pytest
+
+    from imgfact_spark.operators.similarity import ivf_topk
+
+    df, _ = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(out):
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in out.collect()
+        )
+
+    # disable Catalyst's size-stat auto-broadcast so any BroadcastExchange
+    # in the plan can ONLY come from the operator's explicit hint — that
+    # isolates what the guard controls (AQE/Catalyst remain free to pick
+    # broadcast from real sizes in production; the guard only stops the
+    # operator from FORCING an oversized one)
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, kw in (
+            (lsh_topk, dict(dim=DIM, k=5, n_planes=6, n_tables=2)),
+            (ivf_topk, dict(dim=DIM, k=5, n_cells=8, nprobe=4)),
+        ):
+            small = fn(df, q, **kw)
+            forced = fn(df, q, max_broadcast_queries=0, **kw)
+            assert rows(small) == rows(forced), fn.__name__
+            small_plan = small._jdf.queryExecution().executedPlan().toString()
+            forced_plan = forced._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" in small_plan, fn.__name__
+            assert "BroadcastExchange" not in forced_plan, fn.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+    with pytest.raises(ValueError, match="broadcast-small"):
+        brute_force_topk(df, q, k=5, max_broadcast_queries=0)
+
+
+def test_lsh_degenerate_single_bucket_skew(spark):
+    """All-identical vectors: the whole corpus collapses into ONE
+    (table, signature) bucket — the worst-case bucket skew.  The shuffle
+    fallback join must still complete (AQE skew-split owns the oversized
+    bucket) and return the exact id-tiebroken top-k."""
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, embedding array<float>"
+    )
+    # exercise the shuffle-join path — the one where bucket skew exists
+    out = lsh_topk(df, q, dim=8, k=5, n_planes=6, n_tables=2,
+                   max_broadcast_queries=0)
+    got = [(r.vec_id, r.cosine) for r in out.collect()]
+    assert got == [(i, 1.0) for i in range(5)]  # all cosine 1.0 → id tiebreak
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_mean_pool_and_udaf(spark):
     from imgfact_spark.functions.vectors import avg_l2_norm_udaf, mean_pool
 
