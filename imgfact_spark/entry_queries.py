@@ -2710,6 +2710,78 @@ def t_bm25_topk(spark, sf_dir):
 
 
 @_register(
+    "t_pii_redact",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' Contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.com via 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                  || ' tel +1 (415) 555-00' || CAST(10 + doc_id % 90 AS VARCHAR)
+                  || ' end' AS raw
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+    FROM pii
+    """,
+)
+def t_pii_redact(spark, sf_dir):
+    """PII redaction (functions/text.redact_pii) — the standard corpus
+    scrub: emails, IPv4s and phone-shaped digit runs replaced with typed
+    placeholders via chained JVM regexp_replace (map-only, fuses into the
+    scan).  PII is planted deterministically per doc so both engines
+    redact the same text; patterns are written to mean the same thing
+    under Java regex and RE2."""
+    from imgfact_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com via 10.0.0."), F.pmod("doc_id", F.lit(255)).cast("string"),
+        F.lit(" tel +1 (415) 555-00"),
+        (F.pmod("doc_id", F.lit(90)) + 10).cast("string"),
+        F.lit(" end"),
+    )
+    return d.select("doc_id", redact_pii(raw).alias("clean"))
+
+
+@_register(
+    "t_repetition_ratio",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) < 2 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(
+                         list_transform(range(1, len(t)),
+                                        i -> t[i] || chr(31) || t[i + 1])))
+                       AS DOUBLE)
+                     / CAST(len(t) - 1 AS DOUBLE)
+           END AS rep_ratio
+    FROM base
+    """,
+)
+def t_repetition_ratio(spark, sf_dir):
+    """Bigram repetition ratio (functions/text.repetition_ratio) — the
+    Gopher-style boilerplate/spam gate: 1 − |distinct bigrams|/|bigrams|,
+    0 for <2 tokens.  Pure array Column algebra (split → indexed transform
+    → array_distinct), no explode and no shuffle — the signal computes
+    inside the scan projection."""
+    from imgfact_spark.functions.text import repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio("text").alias("rep_ratio"))
+
+
+@_register(
     "t_bm25_multi",
     r"""
     WITH q(query_id, term) AS (
@@ -2886,6 +2958,8 @@ _DRIVER_SAMPLE_FIRST = [
     "t_bm25_multi",
     "t_sample_stratified",
     "t_sample_weighted",
+    "t_pii_redact",
+    "t_repetition_ratio",
     # keepers: newest-green / highest-value operator rows
     "p6_dual_threshold",
     "s5_json_roundtrip",
@@ -2902,8 +2976,6 @@ _DRIVER_SAMPLE_FIRST = [
     "w1_topk_per_group",
     "o3_min_count_gate",
     "o4_sample_per_group",
-    "f_scalar_pack",
-    "t_quality_score",
     "t_exact_dedup_groups",
     "d_ngram_jaccard_pairs",
     "d_minhash_lsh_pairs",

@@ -149,6 +149,16 @@ def diff_image_partner(
     ranks over the data), and one positional self-join on (group, pos) —
     every stage keyed by the relation/entity group, so parallelism =
     group cardinality and no state ever exceeds a partition.
+
+    Canonical J8 query pair: ``j8_theta_diff_partner`` pins the
+    WITH-replacement form — a per-row best-scoring different-class partner
+    lookup (pure theta join + rank-1 window; the same partner may serve
+    many rows), the right shape for best-match retrieval.
+    ``j8b_diff_partner_pop`` pins THIS operator — the without-replacement
+    rotation permutation, the faithful re-expression of the reference's
+    destructive ``get_diff_img`` pop, the right shape for exhaustive
+    assignment.  Both are kept as first-class operators because eval-set
+    preparation genuinely uses both shapes.
     """
     cols = pairs.columns
     order_key = F.md5(

@@ -111,6 +111,58 @@ def quality_score(col: Column | str, round_to: int | None = 6) -> Column:
     return F.round(raw, round_to) if round_to is not None else raw
 
 
+_PII_PATTERNS = [
+    # ordered: emails before phones so the local-part digits of an address
+    # are never half-eaten by the phone pattern.  Every pattern is written
+    # to mean the same thing under Java regex (Spark, backtracking) and
+    # RE2 (DuckDB, leftmost-longest): greedy character classes only, no
+    # ambiguous alternation.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and phone-shaped digit runs with
+    typed placeholders — the standard pretraining-corpus PII scrub
+    (applied before any text ships to training or is logged).
+
+    Pure chained ``regexp_replace`` — JVM-side, codegen'd, no Python in
+    the hot path; at 100 TB this is a map-only pass that fuses into the
+    scan.  The pattern set is deliberately conservative (high precision):
+    a real deployment layers a learned NER pass behind the same column
+    contract for recall.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def repetition_ratio(col: Column | str, sep: str = "\x1f") -> Column:
+    """Fraction of duplicated token bigrams in the document, in [0, 1] —
+    the Gopher-style repetition quality gate (highly repetitive documents
+    are boilerplate/spam and get filtered or down-weighted).
+
+    ratio = 1 − |distinct bigrams| / |bigrams|; 0 for documents with < 2
+    tokens.  Pure array Column algebra over the whitespace tokens (split →
+    indexed transform → array_distinct) — no explode, no shuffle: the
+    whole signal computes inside the scan projection.
+    """
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    toks = F.split(c, r"\s+")
+    n_t = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(n_t - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(sep, x, F.try_element_at(toks, i + F.lit(2))),
+    )
+    n_g = F.size(grams).cast("double")
+    return F.when(
+        (F.length(c) == 0) | (n_t < 2), F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g)
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """64-bit content fingerprint of normalized text (whitespace-collapsed,
     lowercased) — the exact-dedup key. xxhash64 is stable across runs."""

@@ -105,6 +105,42 @@ def test_doc_fingerprint_normalization(spark):
     assert got[0] == got[1] != got[2]
 
 
+def test_redact_pii_known_strings(spark):
+    from imgfact_spark.functions.text import redact_pii
+
+    cases = [
+        ("write to bob.smith+x@sub.example.co.uk today",
+         "write to <EMAIL> today"),
+        ("server at 192.168.0.1 and 10.0.0.255 up",
+         "server at <IP> and <IP> up"),
+        ("call +1 (415) 555-0123 now", "call <PHONE> now"),
+        ("mixed a@b.io 127.0.0.1 555 123 4567 end",
+         "mixed <EMAIL> <IP> <PHONE> end"),
+        ("no pii here, just words and 42", "no pii here, just words and 42"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["c"] for r in df.select(redact_pii("t").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_repetition_ratio_known_values(spark):
+    from imgfact_spark.functions.text import repetition_ratio
+
+    cases = [
+        ("a b a b a b", 1.0 - 2.0 / 5.0),   # bigrams: ab ba ab ba ab
+        ("all tokens here are unique", 0.0),
+        ("word word word word", 1.0 - 1.0 / 3.0),
+        ("one", 0.0),
+        ("", 0.0),
+        ("   ", 0.0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r["r"] for r in df.select(repetition_ratio("t").alias("r")).collect()]
+    for (txt, want), g in zip(cases, got):
+        assert abs(g - want) < 1e-12, (txt, g, want)
+
+
 def test_model_sim_scorer_partition_deterministic(spark):
     """score_groundings_model_sim (M2/M3 numpy stand-in) is a pure function
     of (s,p,o,media_ref): identical scores regardless of partitioning, all
