@@ -162,6 +162,11 @@ def main() -> None:
                     choices=["threads", "executors"],
                     help="threads=local[N]; executors=local-cluster[N,1,mem] "
                          "(N real executor JVMs — the cluster-size analog)")
+    ap.add_argument("--docs-path", type=str, default=None,
+                    help="reuse an existing materialized corpus parquet "
+                         "instead of synthesizing one (skips the untimed "
+                         "setup; --docs is then only used for the "
+                         "docs/sec denominator)")
     ap.add_argument("--delta-docs", type=int, default=None,
                     help="marginal-scaling mode: also run a corpus of THIS "
                          "size in the same warm JVM and measure the level's "
@@ -187,11 +192,18 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="scaling_input_")
     docs_path = os.path.join(tmp, "documents.parquet")
-    spark = get_spark(
-        app_name="scaling_synth", cpus=max(levels),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    if args.profile == "kernel":
+    if args.docs_path:
+        assert not args.delta_docs, "--docs-path reuse is total-wall only"
+        docs_path = args.docs_path
+    spark = None
+    if not args.docs_path:
+        spark = get_spark(
+            app_name="scaling_synth", cpus=max(levels),
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+    if args.docs_path:
+        pass
+    elif args.profile == "kernel":
         from pyspark.sql import functions as F
 
         (
@@ -223,7 +235,8 @@ def main() -> None:
             spark, max(args.docs // 8, 10000), partitions=max(levels) * 2
         ).write.mode("overwrite").parquet(warm_path)
         docs_path = f"{warm_path}:{docs_path}:{big_path}"
-    spark.stop()
+    if spark is not None:
+        spark.stop()
 
     def run_level(n: int) -> dict:
         out = subprocess.run(
