@@ -61,6 +61,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        # Byte-lean I/O: zstd for shuffle/broadcast/cache-spill blocks and
+        # parquet pages.  The engine's heavy stages are memory-bandwidth-
+        # bound at deployment parallelism (every byte shuffled, cached or
+        # committed is read back at least once), so trading compression CPU
+        # for bytes wins where it matters: measured on the 3M-doc pipeline,
+        # zstd is FASTER at 4 cores (median 87s vs 103s over 5/10 runs),
+        # neutral at 32 cores, and costs ~10% only at 1 core where the bus
+        # is idle — and lifts 1→4-core full-job scaling efficiency from
+        # median 0.70 (6 pairs) to 0.81 (5 pairs, rank-sum p≈0.004) by
+        # relieving the saturated shared-memory path (BENCH/BASELINE.md).
+        # On a real cluster the same trade shrinks network shuffle and
+        # object-store traffic — the standard choice for I/O-bound fleets.
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Arrow batches feed the pandas-UDF kernels (mention detection,
         # entity-link scoring); 10k rows/batch amortizes per-batch setup.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
