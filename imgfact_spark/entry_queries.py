@@ -2710,6 +2710,34 @@ def t_bm25_topk(spark, sf_dir):
 
 
 @_register(
+    "t_corpus_length_profile",
+    r"""
+    SELECT lang,
+           COUNT(*) AS n,
+           FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 1000000) / 1000000 AS mean,
+           FLOOR(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) * 1000000) / 1000000 AS q50,
+           FLOOR(quantile_cont(CAST(n_chars AS DOUBLE), 0.9) * 1000000) / 1000000 AS q90,
+           FLOOR(quantile_cont(CAST(n_chars AS DOUBLE), 0.99) * 1000000) / 1000000 AS q99
+    FROM documents GROUP BY lang
+    """,
+)
+def t_corpus_length_profile(spark, sf_dir):
+    """Per-language document-length distribution profile (operators/stats.
+    length_quantiles): exact type-7 interpolated p50/p90/p99 via Spark's
+    native percentile aggregate == DuckDB quantile_cont, plus count and
+    mean — the distribution-shape gates a corpus pipeline monitors
+    (truncation budgets, outlier cutoffs).  Map-side-merged (value→count)
+    state; the approx GK-sketch path is the unbounded-domain variant
+    (pinned by an error-bound test, not an oracle)."""
+    from imgfact_spark.operators.stats import length_quantiles
+
+    d = _t(spark, sf_dir, "documents")
+    return length_quantiles(d, "n_chars", by=["lang"]).select(
+        "lang", "n", "mean", "q50", "q90", "q99"
+    )
+
+
+@_register(
     "t_pii_redact",
     r"""
     WITH pii AS (
@@ -2960,6 +2988,7 @@ _DRIVER_SAMPLE_FIRST = [
     "t_sample_weighted",
     "t_pii_redact",
     "t_repetition_ratio",
+    "t_corpus_length_profile",
     # keepers: newest-green / highest-value operator rows
     "p6_dual_threshold",
     "s5_json_roundtrip",
@@ -2974,7 +3003,6 @@ _DRIVER_SAMPLE_FIRST = [
     "a12_filter_intersection",
     "a13_union_shard_partials",
     "w1_topk_per_group",
-    "o3_min_count_gate",
     "o4_sample_per_group",
     "t_exact_dedup_groups",
     "d_ngram_jaccard_pairs",

@@ -1,0 +1,61 @@
+"""Corpus profiling statistics — per-group distribution summaries.
+
+A training-data pipeline gates and monitors on distribution shape, not
+just means: document-length percentiles per language decide truncation
+budgets, outlier cutoffs and tokenizer batch sizing (the reference's
+equivalents are ad-hoc driver-side ``Counter``/sort passes, e.g. the
+class-count scans in multimodal_naive.py:209-280).
+
+Two paths, one contract:
+
+  * ``exact`` — Spark's native ``percentile`` aggregate: exact type-7
+    (linear-interpolation) quantiles, the same definition DuckDB's
+    ``quantile_cont`` implements, so results are oracle-comparable
+    bit-for-bit after the house 1e-6 floor truncation.  State per group
+    is a (value → count) map — right whenever the value domain is
+    bounded (lengths, token counts, scores quantized to fixed decimals),
+    which covers the profiling columns; the map merges map-side, so the
+    shuffle carries one map per group per partition, not rows.
+  * ``approx`` — ``percentile_approx`` (GK sketch, bounded state for
+    UNBOUNDED domains at a set accuracy) — the 100 TB default when the
+    column is continuous; not oracle-exact by construction, pinned by an
+    error-bound test instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def length_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    method: str = "exact",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group quantiles of ``value_col`` plus count and mean.
+
+    Returns one row per group: (*by, n, mean, q<NN> per requested
+    quantile), quantile columns floor-truncated at 1e-6 (house rule: the
+    emitted float is the compared float).
+    """
+    v = F.col(value_col).cast("double")
+    if method == "exact":
+        pct = F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+    else:
+        pct = F.percentile_approx(v, F.array(*[F.lit(q) for q in qs]), accuracy)
+    aggs = [
+        F.count("*").alias("n"),
+        (F.floor(F.avg(v) * 1e6) / 1e6).alias("mean"),
+        pct.alias("_qs"),
+    ]
+    out = df.groupBy(*by).agg(*aggs)
+    for i, q in enumerate(qs):
+        name = f"q{str(q)[2:].ljust(2, '0')[:2]}"
+        out = out.withColumn(
+            name, F.floor(F.try_element_at("_qs", F.lit(i + 1)) * 1e6) / 1e6
+        )
+    return out.drop("_qs")

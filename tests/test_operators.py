@@ -250,3 +250,44 @@ def test_visual_ratio_fused_matches_two_agg_form(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_length_quantiles_exact_matches_numpy(spark):
+    """Exact path == numpy type-7 (linear) quantiles per group."""
+    import math
+
+    import numpy as np
+
+    from imgfact_spark.operators.stats import length_quantiles
+
+    rows = [(f"g{i % 3}", (i * 37) % 251) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.g: r for r in length_quantiles(df, "v", ["g"], (0.5, 0.9, 0.99)).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        vals = np.array(sorted(v for gg, v in rows if gg == g), dtype=float)
+        assert out[g].n == len(vals)
+        assert out[g].mean == math.floor(vals.mean() * 1e6) / 1e6
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            want = math.floor(float(np.quantile(vals, q)) * 1e6) / 1e6
+            assert abs(getattr(out[g], col) - want) <= 1e-6, (g, col)
+
+
+def test_length_quantiles_approx_within_rank_bound(spark):
+    """GK-sketch path returns values inside a +/-5%-rank window around the
+    target quantile (the unbounded-domain 100 TB path; not oracle-exact)."""
+    import numpy as np
+
+    from imgfact_spark.operators.stats import length_quantiles
+
+    rows = [("g", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = length_quantiles(
+        df, "v", ["g"], (0.5, 0.9, 0.99), method="approx", accuracy=50
+    ).collect()[0]
+    vals = np.arange(2000, dtype=float)
+    for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        lo = float(np.quantile(vals, max(q - 0.05, 0.0)))
+        hi = float(np.quantile(vals, min(q + 0.05, 1.0)))
+        assert lo - 1e-6 <= getattr(out, col) <= hi + 1e-6, col
