@@ -195,3 +195,18 @@ def test_compact_table_crash_windows_self_heal(spark, tmp_path):
     assert store.is_committed("t", "h:1")
     assert not _os.path.isdir(src + "._old")
     assert store.read(spark, "t").count() == 500
+
+
+def test_driver_sample_order_contract():
+    """The driver checks the FIRST 50 registered queries: the curated
+    rotation list must be exactly the front of QUERIES/ORACLES, 50 long,
+    with the flagship in-sample (entry_queries._DRIVER_SAMPLE_FIRST)."""
+    from imgfact_spark import entry_queries as eq
+
+    front = list(eq.QUERIES)[: len(eq._DRIVER_SAMPLE_FIRST)]
+    assert len(eq._DRIVER_SAMPLE_FIRST) == 50
+    assert front == eq._DRIVER_SAMPLE_FIRST
+    assert "kg_construct_e2e" in front
+    # oracle dict is reordered identically (driver zips the two)
+    ofront = [k for k in eq.ORACLES if k in set(front)]
+    assert ofront == [k for k in front if k in eq.ORACLES]
