@@ -124,3 +124,15 @@ def run_oracle(
         else pd.DataFrame(columns=["s", "p", "o", "n_docs"])
     )
     return tdf, gdf
+
+
+def redact_pii_py(text: str) -> str:
+    """Python twin of functions/text.redact_pii — same pattern list (shared
+    source, no drift), Python `re` (backtracking, like Java regex)."""
+    import re
+
+    from imgfact_spark.functions.text import _PII_PATTERNS
+
+    for pat, tag in _PII_PATTERNS:
+        text = re.sub(pat, tag, text)
+    return text

@@ -123,3 +123,40 @@ def test_quantize_python_twin_bounds_and_monotone(xs):
         assert qs[a] <= qs[b]
 
 
+
+
+# --------------------------------------------------------------- round 4
+
+pii_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"),
+        whitelist_characters=" .@+-()_%",
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(pii_text)
+@settings(max_examples=300, deadline=None)
+def test_redact_pii_idempotent(s):
+    """A scrub pass must be safe to re-run: placeholders contain no
+    pattern-matchable characters, so redact∘redact == redact."""
+    from tests.oracle import redact_pii_py
+
+    once = redact_pii_py(s)
+    assert redact_pii_py(once) == once
+
+
+@given(pii_text)
+@settings(max_examples=300, deadline=None)
+def test_redact_pii_removes_all_emails_and_ips(s):
+    """Post-scrub text never contains an email or IPv4 match."""
+    import re
+
+    from imgfact_spark.functions.text import _PII_PATTERNS
+    from tests.oracle import redact_pii_py
+
+    out = redact_pii_py(s)
+    for pat, _ in _PII_PATTERNS[:2]:  # email, ip — exact full-pattern classes
+        assert not re.search(pat, out), (s, out, pat)

@@ -124,6 +124,24 @@ def test_redact_pii_known_strings(spark):
     assert got == [want for _, want in cases]
 
 
+def test_redact_pii_spark_matches_python_twin(spark):
+    """Column implementation == the python twin property tests run on
+    (chain: hypothesis property → twin → Spark parity)."""
+    from imgfact_spark.functions.text import redact_pii
+    from tests.oracle import redact_pii_py
+
+    samples = [
+        "a@b.io x", "10.0.0.1", "+1 (415) 555-0123", "no pii", "",
+        "u.v-w%x+y@sub.dom.co 255.255.255.255 tail",
+        "digits 123456789012 run", "at@at@no.pe", "1.2.3.4.5.6",
+        "call 555 123 4567 or write a@b.cd now", "+  spaced",
+        "trail dot 1.2.3.4.", "a@b.c",  # 1-char TLD: must NOT match email
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["c"] for r in df.select(redact_pii("t").alias("c")).collect()]
+    assert got == [redact_pii_py(s) for s in samples]
+
+
 def test_repetition_ratio_known_values(spark):
     from imgfact_spark.functions.text import repetition_ratio
 
