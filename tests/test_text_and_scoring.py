@@ -23,6 +23,17 @@ CASES = [
     "Nested (qual (inner)) Name",
     "  padded  ",
     "under_scored_(qualifier)",
+    # adversarial cases for the gated fast path: mixed/doubled/edge
+    # separators must still route through the full cleanup chain
+    "a_ b",
+    "a _b",
+    "a__b",
+    "a  b",
+    "_leading",
+    "trailing_",
+    " edge _ mix_ ",
+    "",
+    "clean_simple_name",
 ]
 
 
