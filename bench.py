@@ -25,6 +25,9 @@ Queries:
   * messy_swap     — bucketed cyclic cross-cluster swap over events (J9).
   * bm25_topk      — Okapi BM25 top-20 for a 4-term query over documents.
   * sampling       — seeded stratified (1k/lang) + weighted A-Res (1k) samples.
+  * text_gates     — PII redaction + repetition ratio over every document
+                     plus per-lang exact length quantiles (new r4 corpus
+                     gates; map-only except the quantile agg).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS,
@@ -217,6 +220,19 @@ def main() -> None:
             ).count()
 
         bench_section("sampling", sample_run)
+
+        def text_gates_run():
+            from imgfact_spark.functions.text import redact_pii, repetition_ratio
+            from imgfact_spark.operators.stats import length_quantiles
+
+            d.select(
+                F.count("*"),
+                F.sum(F.length(redact_pii("text"))),
+                F.floor(F.sum(repetition_ratio("text")) * 1e4),
+            ).collect()
+            length_quantiles(d, "n_chars", by=["lang"]).count()
+
+        bench_section("text_gates", text_gates_run)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()

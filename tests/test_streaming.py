@@ -219,3 +219,76 @@ def test_incremental_kg_matches_batch_pipeline(spark, tmp_path):
     bg = sorted(map(tuple, res.kg_groundings.collect()))
     ig = sorted(map(tuple, inc_groundings.select(*res.kg_groundings.columns).collect()))
     assert ig == bg
+
+
+def test_windowed_counts_late_data_cannot_change_finalized_window(spark, tmp_path):
+    """Real watermark semantics, not just batch parity: once the watermark
+    finalizes (emits) a window in append mode, a late event for that
+    window is dropped — it neither changes the emitted count nor
+    resurrects the window for a second emission.
+
+    (Measured Spark nuance the test encodes: a late row landing in the
+    SAME micro-batch in which its window is being evicted can still be
+    merged before eviction — the hard guarantee starts one batch later,
+    so the late row here arrives one batch AFTER finalization.)"""
+    import datetime as dt
+    import time
+
+    from imgfact_spark.streaming import windowed_event_counts
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    in_dir = str(tmp_path / "in")
+    base = dt.datetime(2026, 1, 1)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 0: on-time event in window [00:00, 01:00) + one far ahead —
+    # post-batch watermark 03:20 passes that window's end
+    write_file([
+        (0, base + dt.timedelta(minutes=30), 1, "click", 1.0),
+        (1, base + dt.timedelta(hours=3, minutes=30), 2, "click", 1.0),
+    ])
+    time.sleep(1.3)  # distinct mtimes → file source preserves batch order
+    # batch 1: window 0 is evicted+emitted (count 1) during this batch
+    write_file([(2, base + dt.timedelta(hours=3, minutes=40), 4, "click", 1.0)])
+    time.sleep(1.3)
+    # batch 2: the LATE event for the finalized window + a current one
+    write_file([
+        (3, base + dt.timedelta(minutes=45), 3, "click", 1.0),
+        (4, base + dt.timedelta(hours=3, minutes=50), 5, "click", 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = windowed_event_counts(stream, "1 hour", watermark="10 minutes")
+    emitted: list[tuple[int, list]] = []
+
+    def capture(bdf, batch_id):
+        emitted.append(
+            (batch_id, [(r["window_start"].hour, r["n_events"]) for r in bdf.collect()])
+        )
+
+    q = (
+        out.writeStream.foreachBatch(capture)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_rows = [r for _, rows in emitted for r in rows]
+    # window 0 emitted EXACTLY once, with only the on-time count — the
+    # late row neither changed it nor triggered a second emission
+    assert all_rows.count((0, 1)) == 1 and (0, 2) not in all_rows, emitted
+    # the 03:00 window is still open (watermark never passed 04:00) — in
+    # append mode it must not have been emitted
+    assert not any(h == 3 for h, _ in all_rows), emitted
