@@ -2103,18 +2103,122 @@ def mm_frame_sample(spark, sf_dir):
     return sample_frames(media, every_n=2).select("media_ref", "frame_no")
 
 
-@_register("mm_extract_features")  # rows-only: stubbed decoder is engine-side
+@_register(
+    "mm_extract_features",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+             repeat(md5(CAST(doc_id AS VARCHAR)), 8) AS ph
+      FROM documents WHERE doc_id < 200
+    ),
+    dec AS (  -- _stub_decode: np.resize cycles 128 payload bytes to 192
+      SELECT media_ref, ph || substr(ph, 1, 128) AS dh FROM m
+    ),
+    f AS (SELECT media_ref, dh, UNNEST(range(0, 16)) AS j FROM dec),
+    k AS (
+      SELECT media_ref, j,
+             ('0x' || substr(md5(dh || '|' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 AS kv
+      FROM f
+    )
+    SELECT media_ref,
+           CAST(SUM(kv) AS BIGINT) AS feat_checksum,
+           CAST(SUM(CASE WHEN j = 0 THEN kv END) AS BIGINT)
+             / CAST(1000000 AS DOUBLE) AS feat0
+    FROM k GROUP BY media_ref
+    """,
+)
 def mm_extract_features(spark, sf_dir):
-    """Multimodal binary decode + feature extraction (stub decoder, real
-    Arrow/mapInPandas plumbing)."""
+    """Multimodal binary decode + feature extraction (M5, cluster.py:41-48):
+    binary payloads → mapInPandas decode → per-item feature vector.  The
+    hash-mode extractor makes the FULL plumbing value-hash certifiable: the
+    payload is md5-derived bytes (synth_media payload_mode='md5'), the stub
+    decode tiles them to 8×8×3 exactly like the float path, and feature j is
+    the md5-prefix unit score of (decoded_hex, j) — DuckDB replays payload
+    synthesis, the decode byte-cycling AND the per-dim features, so the
+    Arrow batch boundary and byte handling are checked end to end, not just
+    row counts.  feat_checksum sums the integer feature numerators (exact);
+    feat0 exposes one raw feature value."""
     from imgfact_spark.multimodal import extract_features, synth_media
 
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     refs = d.select(F.col("doc_id").cast("string").alias("media_ref"))
-    media = synth_media(spark, refs)
-    feats = extract_features(media, dim=16)
+    media = synth_media(spark, refs, payload_bytes=128, payload_mode="md5")
+    feats = extract_features(media, dim=16, hash_mode="md5")
     return feats.select(
-        "media_ref", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum")
+        "media_ref",
+        F.aggregate(
+            F.transform("features", lambda x: F.round(x * 1e6).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("feat_checksum"),
+        F.try_element_at("features", F.lit(1)).alias("feat0"),
+    )
+
+
+_M2U = (
+    "((('0x' || substr(md5({expr}), 1, 15))::BIGINT % 1000000)"
+    " / CAST(1000000 AS DOUBLE))"
+)
+
+
+@_register(
+    "m2_checkpoint_scoring",
+    f"""
+    WITH gc AS (
+      SELECT 'c' || CAST(l_orderkey % 97 AS VARCHAR) AS s,
+             'rel' || CAST(l_linenumber AS VARCHAR) AS p,
+             'p' || CAST(l_partkey % 89 AS VARCHAR) AS o,
+             'img/' || CAST(l_orderkey AS VARCHAR) || '/'
+               || CAST(l_linenumber AS VARCHAR) AS media_ref
+      FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    scored AS (
+      SELECT s, p, o, media_ref,
+             CAST(0.20 AS DOUBLE) + CAST(0.80 AS DOUBLE)
+               * {_M2U.format(expr="'pair|' || s || '|' || p || '|' || o || '|' || media_ref")} AS score,
+             CAST(0.75 AS DOUBLE) + CAST(0.25 AS DOUBLE)
+               * {_M2U.format(expr="'ent|' || s || '|' || media_ref")} AS score_s,
+             CAST(0.75 AS DOUBLE) + CAST(0.25 AS DOUBLE)
+               * {_M2U.format(expr="'ent|' || o || '|' || media_ref")} AS score_o
+      FROM gc
+    )
+    SELECT s, p, o, media_ref, score, score_s, score_o
+    FROM scored
+    WHERE score > 0.4 AND score_s >= 0.87 AND score_o >= 0.87
+    """,
+)
+def m2_checkpoint_scoring(spark, sf_dir):
+    """M2/M3 grounding scorers served from an executor-loaded checkpoint
+    (pipeline/model_serving.py): the scorer weights are deserialized ONCE
+    per partition inside an iterator pandas UDF and then score every Arrow
+    batch — the contract real CLIP weights use (reference inference.py:
+    160-176, ptuningfilter.py:33-47: load_state_dict per worker, batched
+    forward).  The md5-mode checkpoint computes the cross-engine
+    deterministic score, so the ENTIRE serving path — checkpoint file →
+    per-partition load → batch scoring → P5∧P6 threshold intersection — is
+    value-hash certified against DuckDB, not just row-counted."""
+    from imgfact_spark.pipeline.grounding import filter_groundings
+    from imgfact_spark.pipeline.model_serving import (
+        default_checkpoint_path,
+        score_groundings_checkpoint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    gc = li.select(
+        F.concat(F.lit("c"), F.pmod(F.col("l_orderkey"), F.lit(97)).cast("string")).alias("s"),
+        F.concat(F.lit("rel"), F.col("l_linenumber").cast("string")).alias("p"),
+        F.concat(F.lit("p"), F.pmod(F.col("l_partkey"), F.lit(89)).cast("string")).alias("o"),
+        F.concat_ws(
+            "/",
+            F.lit("img"),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("media_ref"),
+    )
+    scored = score_groundings_checkpoint(gc, default_checkpoint_path("md5"))
+    return filter_groundings(scored).select(
+        "s", "p", "o", "media_ref", "score", "score_s", "score_o"
     )
 
 
@@ -2954,17 +3058,45 @@ def t_sample_weighted(spark, sf_dir):
 # Driver sample ordering.  The driver checks the FIRST 50 registered queries
 # each round; every registered query is equally verifiable locally
 # (tools/check_oracles.py is driver-identical), but the hard evidence is a
-# CORRECTNESS row.  Rotation policy: queries that have NEVER had a driver
-# row go first (round 4: everything registered after kg_construct_e2e in
-# rounds 2-3, plus this round's new queries), the flagship stays in-sample,
-# and the remaining slots keep the operators whose green rows are newest;
-# long-green single-operator queries (3 straight green rounds, r1-r3)
-# rotate out and back in next round.
+# CORRECTNESS row.  Rotation policy (COVERAGE.md): no query's newest driver
+# row may age past two rounds.  Round 5 completes the r4 rotation in the
+# other direction: the 24 single-operator queries rotated OUT of the r4
+# sample (last driver rows r1-r3) come back IN; the 24 r4 first-timers
+# keep their slots (rows stay current); the flagship never leaves; the 25
+# long-green r4 keepers rotate out (their newest rows are r4 — fresh within
+# the two-round contract through r6), freeing slots for the 24 returning
+# queries plus this round's new query.
 # ---------------------------------------------------------------------------
 _DRIVER_SAMPLE_FIRST = [
-    # flagship
+    # flagship (always in-sample)
     "kg_construct_e2e",
-    # never driver-checked before round 4 (registered past the 50-cut in r2/r3)
+    # rotated back IN: last driver rows r1-r3, re-verified locally each round
+    "s2_manifest_explode",
+    "s7_json_index_scan",
+    "p2_malformed_filter",
+    "p3_min_image_count",
+    "p5_score_threshold",
+    "p8_blacklist_filter",
+    "p9_normalize_underscore",
+    "p10_strip_parenthetical",
+    "p13_template_fill",
+    "p14_train_vocab_semi",
+    "j1_double_semi_join",
+    "j2_abstract_image_join",
+    "j5_positional_zip_join",
+    "j11_round_robin_modulo",
+    "a1_relation_counts",
+    "a4_distinct_entity_union",
+    "a5_concat_key_dedup",
+    "a7_class_counter_max",
+    "w4_first_per_cluster",
+    "o3_min_count_gate",
+    "f_scalar_pack",
+    "t_token_count",
+    "t_lang_id",
+    "t_quality_score",
+    # r4 first-timers kept in-sample (rows stay current; mm_extract_features
+    # gains a value-hash oracle this round and must be driver-certified)
     "kg_construct_triples",
     "st_incremental_kg",
     "api_retrieve_by_relation",
@@ -2989,32 +3121,8 @@ _DRIVER_SAMPLE_FIRST = [
     "t_pii_redact",
     "t_repetition_ratio",
     "t_corpus_length_profile",
-    # keepers: newest-green / highest-value operator rows
-    "p6_dual_threshold",
-    "s5_json_roundtrip",
-    "j3_visual_ratio",
-    "j7_first_seen_label_ids",
-    "j8_theta_diff_partner",
-    "j8b_diff_partner_pop",
-    "a6_vector_mean_pool",
-    "a8_oversample_balance",
-    "a9_ranking_metrics",
-    "a9_weighted_prf",
-    "a12_filter_intersection",
-    "a13_union_shard_partials",
-    "w1_topk_per_group",
-    "o4_sample_per_group",
-    "t_exact_dedup_groups",
-    "d_ngram_jaccard_pairs",
-    "d_minhash_lsh_pairs",
-    "d_simhash_pairs",
-    "t_ngram_topk",
-    "t_contamination",
-    "s_cosine_topk",
-    "s_lsh_topk",
-    "d_cosine_neardup",
-    "s_quantize_embeddings",
-    "s_ivf_topk",
+    # new this round: executor-side per-partition model-checkpoint scoring (M2)
+    "m2_checkpoint_scoring",
 ]
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]

@@ -43,16 +43,25 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark, refs: DataFrame, payload_bytes: int = 256) -> DataFrame:
+def synth_media(
+    spark, refs: DataFrame, payload_bytes: int = 256, payload_mode: str = "xxh"
+) -> DataFrame:
     """Deterministic fake media table for the given media_ref rows: payload
     = repeatable bytes derived from the ref hash (stands in for real image
-    bytes; sized small on purpose)."""
+    bytes; sized small on purpose).  ``payload_mode="md5"`` derives the
+    bytes from the md5 hex digest instead (16-byte blocks) — the
+    cross-engine primitive, so DuckDB can re-synthesize the exact payload
+    when certifying the md5-mode feature extractor."""
+    if payload_mode == "md5":
+        payload = F.unhex(F.repeat(F.md5("media_ref"), payload_bytes // 16))
+    else:
+        payload = F.expr(
+            f"repeat(unhex(lpad(hex(abs(xxhash64(media_ref))), 16, '0')), {payload_bytes // 8})"
+        ).cast("binary")
     return refs.select(
         "media_ref",
         F.lit("image").alias("kind"),
-        F.expr(
-            f"repeat(unhex(lpad(hex(abs(xxhash64(media_ref))), 16, '0')), {payload_bytes // 8})"
-        ).cast("binary").alias("payload"),
+        payload.alias("payload"),
         F.struct(
             F.lit(224).alias("width"),
             F.lit(224).alias("height"),
@@ -76,7 +85,9 @@ def _stub_decode(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8, 3)
 
 
-def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 64, hash_mode: "str | None" = None
+) -> DataFrame:
     """media → (media_ref, features array<float>) via Arrow-batched
     mapInPandas; per-batch vectorized (decode loop is per item — the real
     codec is too — but everything around it is numpy batch ops).
@@ -85,11 +96,18 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
     pooling for a model forward (iterator form keeps per-partition model
     init amortized, like the reference's DataLoader workers,
     inference.py:162-163).
+
+    ``hash_mode="md5"`` replaces the matmul head with the cross-engine
+    md5-prefix unit score of (decoded-bytes hex, dim index) — same decode,
+    same Arrow plumbing, but every feature value is DuckDB-replicable
+    (array<double> output), which is what lets the driver value-hash the
+    whole binary→decode→feature path.
     """
+    elem = T.DoubleType() if hash_mode == "md5" else T.FloatType()
     out_schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType(), False),
-            T.StructField("features", T.ArrayType(T.FloatType()), False),
+            T.StructField("features", T.ArrayType(elem), False),
         ]
     )
 
@@ -100,13 +118,34 @@ def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
             if len(pdf) == 0:
                 continue
             imgs = np.stack([_stub_decode(p) for p in pdf["payload"]])
-            flat = imgs.reshape(len(pdf), -1).astype("float64") / 255.0
-            feats = flat @ rng_planes  # stands in for the model forward
+            if hash_mode == "md5":
+                import hashlib
+
+                feats = [
+                    np.array(
+                        [
+                            (
+                                int(
+                                    hashlib.md5(
+                                        f"{img.tobytes().hex()}|{j}".encode()
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                % 1_000_000
+                            )
+                            / 1e6
+                            for j in range(dim)
+                        ],
+                        dtype="float64",
+                    )
+                    for img in imgs
+                ]
+            else:
+                flat = imgs.reshape(len(pdf), -1).astype("float64") / 255.0
+                out = flat @ rng_planes  # stands in for the model forward
+                feats = [row.astype("float32") for row in out]
             yield pd.DataFrame(
-                {
-                    "media_ref": pdf["media_ref"].values,
-                    "features": [row.astype("float32") for row in feats],
-                }
+                {"media_ref": pdf["media_ref"].values, "features": feats}
             )
 
     return media.select("media_ref", "payload").mapInPandas(batches, out_schema)
