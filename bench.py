@@ -4,14 +4,18 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
 
-Each section runs ``SPARK_GRAFT_BENCH_REPS`` times (default 2) and reports
-the MIN — the host VM shows heavy noisy-neighbor variance (4× wall-clock
-swings on identical plans), and min-of-N is the standard estimator for the
-machine-limited cost under external noise.  Every rep's wall time is also
-emitted (``reps_detail``) plus the per-section median, so a noisy run is
-self-evident from one JSON line: headline min far below the other reps ⇒
-the window was noisy, not the code (the r3 driver-vs-recorded 2.4×
-minhash ambiguity, diagnosed only by archaeology, never recurs).
+Each section runs one UNTIMED warm-up rep (JVM/JIT + page-cache warm-up
+cost 2-4× on first touch — r4 reps_detail showed kg [34.8, 17.3, 8.0] —
+which distorted medians), then ``SPARK_GRAFT_BENCH_REPS`` timed reps
+(default 3) and reports the MIN — the host VM shows heavy noisy-neighbor
+variance (4× wall-clock swings on identical plans), and min-of-N is the
+standard estimator for the machine-limited cost under external noise.
+Every rep's wall time is also emitted (``reps_detail``) plus the
+per-section TRUE median (middle elements averaged on even counts), so a
+noisy run is self-evident from one JSON line: headline min far below the
+other reps ⇒ the window was noisy, not the code (the r3
+driver-vs-recorded 2.4× minhash ambiguity, diagnosed only by
+archaeology, never recurs).
 
 Queries:
   * kg_construct   — full KG-construction pipeline over a pre-materialized
@@ -28,10 +32,19 @@ Queries:
   * text_gates     — PII redaction + repetition ratio over every document
                      plus per-lang exact length quantiles (new r4 corpus
                      gates; map-only except the quantile agg).
+  * kg_construct_skew — the same pipeline over a hard-skew corpus
+                     (skew_prob=0.75: the planted head entity is in ~90% of
+                     docs) — the measured cost of the AQE-skew-split/salted
+                     plan, reported as kg_skew_ratio vs the default corpus.
+  * kg_shuffle_dims — the web-scale configuration
+                     (broadcast_entity_dims=False: entity-scaled dims join
+                     as AQE-managed shuffle joins, the 10^8-entity shape)
+                     on the default corpus; kg_shuffle_dims_ratio shows the
+                     flip is a plan change, not a cliff.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS,
-     SPARK_GRAFT_BENCH_REPS.
+     SPARK_GRAFT_BENCH_REPS, SPARK_GRAFT_BENCH_WARMUP (default 1).
 """
 
 from __future__ import annotations
@@ -71,7 +84,11 @@ def main() -> None:
     reps_detail: dict[str, list[float]] = {}
     extras: dict = {}
 
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+
     def bench_section(name: str, fn) -> None:
+        for _ in range(warmup):
+            fn()  # untimed: JVM/JIT + page cache warm-up (2-4× on cold)
         times = []
         for _ in range(reps):
             t0 = time.time()
@@ -233,14 +250,75 @@ def main() -> None:
             length_quantiles(d, "n_chars", by=["lang"]).count()
 
         bench_section("text_gates", text_gates_run)
+
+        # ------------------------------------------- kg variants: skew + dims
+        # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the
+        # planted head entity appears in ~90% of docs; the grounding joins
+        # and entity aggs concentrate on one key and must survive via the
+        # salted aggs + AQE skew split (session.py skewJoin factor 3)
+        skew_fp = f"synth:42:{n_docs}:skew0.75"
+        skew_store = TableStore(os.path.join(tmp, "input_skew"))
+        docs_skew = skew_store.write(
+            synth.synth_documents(
+                spark, n_docs, partitions=cpus * 2, skew_prob=0.75
+            ),
+            "documents",
+            input_fingerprint=skew_fp,
+        )
+
+        def kg_skew_run():
+            run_no[0] += 1
+            store = TableStore(os.path.join(tmp, f"skewrun{run_no[0]}"))
+            res = run_pipeline(
+                spark, docs_skew, r2d, ents, store,
+                PipelineConfig(
+                    min_evidence=1, use_lsh_aliases=False, checkpoint="final"
+                ),
+                input_fingerprint=skew_fp,
+                materialize_input=False,
+            )
+            extras["kg_skew_triples"] = res.kg_triples.count()
+
+        bench_section("kg_construct_skew", kg_skew_run)
+        extras["kg_skew_ratio"] = round(
+            timings["kg_construct_skew"] / timings["kg_construct"], 3
+        )
+
+        # web-scale dims configuration: entity-scaled dimension tables join
+        # as AQE-managed shuffle joins instead of broadcasts (the 10^8-entity
+        # regime where no executor holds the entity dim in memory)
+        def kg_shuffle_dims_run():
+            run_no[0] += 1
+            store = TableStore(os.path.join(tmp, f"dimsrun{run_no[0]}"))
+            res = run_pipeline(
+                spark, docs_stable, r2d, ents, store,
+                PipelineConfig(
+                    min_evidence=1, use_lsh_aliases=False, checkpoint="final",
+                    broadcast_entity_dims=False,
+                ),
+                input_fingerprint=fp,
+                materialize_input=False,
+            )
+            extras["kg_shuffle_dims_triples"] = res.kg_triples.count()
+
+        bench_section("kg_shuffle_dims", kg_shuffle_dims_run)
+        extras["kg_shuffle_dims_ratio"] = round(
+            timings["kg_shuffle_dims"] / timings["kg_construct"], 3
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
 
     total = round(sum(timings.values()), 3)
-    medians = {
-        k: sorted(v)[len(v) // 2] for k, v in reps_detail.items()
-    }
+
+    def _median(v: list[float]) -> float:
+        # true median: even rep counts average the two middle elements (the
+        # upper-middle pick overstated dispersion at reps=2)
+        s = sorted(v)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+    medians = {k: _median(v) for k, v in reps_detail.items()}
     print(
         json.dumps(
             {

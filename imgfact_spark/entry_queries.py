@@ -1933,6 +1933,7 @@ def st_incremental_kg(spark, sf_dir):
     (incremental_kg_tables).  The final kg_triples must equal the batch
     pipeline's — certified by the same DuckDB oracle as
     kg_construct_triples."""
+    import shutil
     import tempfile
 
     from imgfact_spark.pipeline.runner import PipelineConfig
@@ -1940,20 +1941,28 @@ def st_incremental_kg(spark, sf_dir):
 
     docs, kb, r2d = _e2e_inputs(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="imgfact_stkg_")
-    in_dir, work, ckpt = f"{root}/in", f"{root}/work", f"{root}/ckpt"
-    custkey = F.substring("doc_id", 2, 10).cast("int")
-    wave1 = docs.filter(custkey <= 200)
-    wave2 = docs.filter(custkey > 200)
-    cfg = PipelineConfig(
-        min_evidence=1, vcc_threshold=0.02, relation_min_total=0,
-        relation_min_count=0, hash_mode="md5",
-    )
-    wave1.write.mode("append").parquet(in_dir)
-    incremental_extract(spark, in_dir, work, ckpt, r2d, kb)
-    wave2.write.mode("append").parquet(in_dir)
-    incremental_extract(spark, in_dir, work, ckpt, r2d, kb)
-    kg_triples, _ = incremental_kg_tables(spark, work, cfg)
-    return kg_triples.select("s", "p", "o", "n_docs")
+    try:
+        in_dir, work, ckpt = f"{root}/in", f"{root}/work", f"{root}/ckpt"
+        custkey = F.substring("doc_id", 2, 10).cast("int")
+        wave1 = docs.filter(custkey <= 200)
+        wave2 = docs.filter(custkey > 200)
+        cfg = PipelineConfig(
+            min_evidence=1, vcc_threshold=0.02, relation_min_total=0,
+            relation_min_count=0, hash_mode="md5",
+        )
+        wave1.write.mode("append").parquet(in_dir)
+        incremental_extract(spark, in_dir, work, ckpt, r2d, kb)
+        wave2.write.mode("append").parquet(in_dir)
+        incremental_extract(spark, in_dir, work, ckpt, r2d, kb)
+        kg_triples, _ = incremental_kg_tables(spark, work, cfg)
+        # eager localCheckpoint materializes the result off the temp files,
+        # so the working root (waves, logs, checkpoint) can be deleted
+        # instead of leaking a tempdir per invocation
+        return kg_triples.select("s", "p", "o", "n_docs").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 ORACLES["st_incremental_kg"] = _e2e_triples_oracle_sql()

@@ -42,6 +42,21 @@ def _query_side(df: DataFrame, n_queries: int, limit: int) -> DataFrame:
     return F.broadcast(df) if n_queries <= limit else df
 
 
+def _probe_n_queries(
+    queries: DataFrame, limit: int, n_queries: "int | None"
+) -> int:
+    """Size of the query relation for the broadcast-vs-shuffle decision.
+
+    The decision only needs to know whether the relation exceeds ``limit``,
+    so the probe job is bounded with ``limit(limit+1)`` instead of a full
+    count — an expensive uncached query lineage stops at limit+1 rows
+    instead of being executed twice in full.  Callers that already know the
+    size pass ``n_queries`` and no probe job runs at all."""
+    if n_queries is not None:
+        return n_queries
+    return queries.limit(limit + 1).count()
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,6 +66,7 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     method: str = "column",
     max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+    n_queries: "int | None" = None,
 ) -> DataFrame:
     """Exact cosine top-k: queries × corpus scan → window top-k.
 
@@ -69,10 +85,10 @@ def brute_force_topk(
     Output: (query_id, vec_id, cosine, rank) — identical for both methods
     (tests/test_similarity.py pins them together).
     """
-    n_q = queries.count()
+    n_q = _probe_n_queries(queries, max_broadcast_queries, n_queries)
     if n_q > max_broadcast_queries:
         raise ValueError(
-            f"brute_force_topk: {n_q} queries exceeds the broadcast-small "
+            f"brute_force_topk: >{max_broadcast_queries} queries exceeds the broadcast-small "
             f"query contract ({max_broadcast_queries}); every query meets "
             "every corpus row, so a large query set needs a bucketed ANN "
             "plan — use lsh_topk or ivf_topk (their shuffle fallback "
@@ -239,6 +255,7 @@ def lsh_topk(
     seed: int = 42,
     method: str = "auto",
     max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+    n_queries: "int | None" = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
     with the query in ANY of ``n_tables`` hash tables; exact cosine + top-k
@@ -257,7 +274,7 @@ def lsh_topk(
     ``method="column"`` forces sequential JVM dot products — bit-identical
     to DuckDB's list_dot_product, which is what the oracle-checked driver
     query uses; ``auto``/``pandas`` pick the BLAS kernel for throughput."""
-    n_q = queries.count()
+    n_q = _probe_n_queries(queries, max_broadcast_queries, n_queries)
     c = ensure_parallelism(corpus.select(id_col, vec_col))
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cexp = hyperplane_signatures(
@@ -461,6 +478,7 @@ def ivf_topk(
     method: str = "pandas",
     deterministic: bool = False,
     max_broadcast_queries: int = DEFAULT_MAX_BROADCAST_QUERIES,
+    n_queries: "int | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``nprobe`` nearest cells and reranks those
@@ -529,7 +547,7 @@ def ivf_topk(
             .select(query_id_col, F.explode("_cells").alias("_cell"))
         )
 
-    n_q = queries.count()
+    n_q = _probe_n_queries(queries, max_broadcast_queries, n_queries)
     q = queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
     cand = (
         assigned.join(_query_side(probes, n_q, max_broadcast_queries), "_cell")

@@ -53,8 +53,13 @@ def length_quantiles(
         pct.alias("_qs"),
     ]
     out = df.groupBy(*by).agg(*aggs)
-    for i, q in enumerate(qs):
-        name = f"q{str(q)[2:].ljust(2, '0')[:2]}"
+    # full decimal digits, padded to two (q50, q99, q999, q51…) — a
+    # truncated-to-two scheme made (0.99, 0.999) silently overwrite each
+    # other; distinct quantiles must yield distinct column names
+    names = [f"q{str(q)[2:].ljust(2, '0')}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles {qs} produce colliding column names {names}")
+    for i, name in enumerate(names):
         out = out.withColumn(
             name, F.floor(F.try_element_at("_qs", F.lit(i + 1)) * 1e6) / 1e6
         )

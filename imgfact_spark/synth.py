@@ -164,13 +164,16 @@ def _doc_rng(seed: int, doc_id: int) -> np.random.RandomState:
     return np.random.RandomState((seed * 1_000_003 + doc_id * 7_919) % (2**31 - 1))
 
 
-def _gen_one_doc(seed: int, doc_id: int, kb: pd.DataFrame, skew_block: int):
+def _gen_one_doc(
+    seed: int, doc_id: int, kb: pd.DataFrame, skew_block: int,
+    skew_prob: float = SKEW_PROB,
+):
     """Pure function (seed, doc_id) → (spans, truth facts)."""
     rng = _doc_rng(seed, doc_id)
     n_facts = rng.randint(1, 4)
     idxs = []
     for _ in range(n_facts):
-        if rng.rand() < SKEW_PROB:
+        if rng.rand() < skew_prob:
             idxs.append(rng.randint(0, skew_block))
         else:
             idxs.append(rng.randint(0, len(kb)))
@@ -223,9 +226,14 @@ def _gen_one_doc(seed: int, doc_id: int, kb: pd.DataFrame, skew_block: int):
 
 
 def synth_documents(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None,
+    skew_prob: float = SKEW_PROB,
 ) -> DataFrame:
-    """Interleaved-documents table, generated distributed + deterministic."""
+    """Interleaved-documents table, generated distributed + deterministic.
+
+    ``skew_prob`` routes that fraction of fact draws to the single-head skew
+    block (default 0.25 ⇒ the head entity appears in ~35% of docs); raise it
+    to stress-test skew handling (bench kg_construct_skew uses 0.75)."""
     kb = build_kb(seed)
     skew_block = max(40, KB_SIZE // 20)
     base = spark.range(0, n_docs, numPartitions=partitions or max(8, n_docs // 50_000))
@@ -234,7 +242,7 @@ def synth_documents(
         for pdf in batches:
             out = []
             for did in pdf["id"]:
-                spans, _ = _gen_one_doc(seed, int(did), kb, skew_block)
+                spans, _ = _gen_one_doc(seed, int(did), kb, skew_block, skew_prob)
                 out.append(
                     (
                         f"doc_{int(did):09d}",
@@ -250,7 +258,8 @@ def synth_documents(
 
 
 def synth_truth(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None,
+    skew_prob: float = SKEW_PROB,
 ) -> DataFrame:
     """Ground-truth planted facts per doc — same pure function, truth side."""
     kb = build_kb(seed)
@@ -261,7 +270,7 @@ def synth_truth(
         for pdf in batches:
             out = []
             for did in pdf["id"]:
-                _, truth = _gen_one_doc(seed, int(did), kb, skew_block)
+                _, truth = _gen_one_doc(seed, int(did), kb, skew_block, skew_prob)
                 for s, p, o, n_media in truth:
                     out.append((f"doc_{int(did):09d}", s, p, o, n_media))
             yield pd.DataFrame(out, columns=["doc_id", "s", "p", "o", "n_media"])

@@ -194,6 +194,13 @@ def main() -> None:
     docs_path = os.path.join(tmp, "documents.parquet")
     if args.docs_path:
         assert not args.delta_docs, "--docs-path reuse is total-wall only"
+        # a reused corpus must match the profile's expected layout: kernel
+        # wants pre-scored gc rows, model builds a warm:docs:big composite —
+        # only the fast profile's plain documents table is safely reusable
+        assert args.profile == "fast", (
+            f"--docs-path expects a fast-profile documents table; profile "
+            f"'{args.profile}' synthesizes its own layout — drop --docs-path"
+        )
         docs_path = args.docs_path
     spark = None
     if not args.docs_path:
