@@ -291,3 +291,20 @@ def test_length_quantiles_approx_within_rank_bound(spark):
         lo = float(np.quantile(vals, max(q - 0.05, 0.0)))
         hi = float(np.quantile(vals, min(q + 0.05, 1.0)))
         assert lo - 1e-6 <= getattr(out, col) <= hi + 1e-6, col
+
+
+def test_length_quantiles_distinct_names_no_collision(spark):
+    """(0.99, 0.999) get distinct columns (q99/q999) — the two-digit
+    truncation used to silently overwrite one with the other — and a
+    genuinely colliding spec raises instead of dropping a quantile."""
+    import pytest as _pytest
+
+    from imgfact_spark.operators.stats import length_quantiles
+
+    df = spark.createDataFrame([("g", i) for i in range(100)], "g string, v long")
+    out = length_quantiles(df, "v", ["g"], (0.5, 0.99, 0.999))
+    assert {"q50", "q99", "q999"} <= set(out.columns)
+    row = out.collect()[0]
+    assert row.q999 >= row.q99 >= row.q50
+    with _pytest.raises(ValueError, match="colliding"):
+        length_quantiles(df, "v", ["g"], (0.99, 0.99))

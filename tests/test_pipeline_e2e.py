@@ -154,3 +154,38 @@ def test_skewed_head_entity_present(pipeline_setup):
     skew = res.kg_triples.filter(f"s = '{synth.SKEW_HEAD}'").count()
     other = res.kg_triples.filter(f"s = 'Head_0001'").count()
     assert skew > other  # hot key dominates but isn't dropped
+
+
+def test_synth_skew_prob_amplifies_head_and_stays_deterministic(spark):
+    """skew_prob threads through synthesis: a 0.75 draw probability puts the
+    planted head entity in far more docs than the 0.25 default, and the
+    corpus stays a pure function of (seed, doc_id, skew_prob)."""
+    from pyspark.sql import functions as F
+
+    from imgfact_spark import synth
+
+    def head_docs(skew_prob):
+        d = synth.synth_documents(spark, 400, skew_prob=skew_prob)
+        return (
+            d.select(
+                "doc_id",
+                F.exists(
+                    "spans",
+                    lambda s: s["text"].contains(
+                        synth.SKEW_HEAD.replace("_", " ")
+                    ) | F.coalesce(
+                        s["media_ref"].contains(synth.SKEW_HEAD.replace("_", " ")),
+                        F.lit(False),
+                    ),
+                ).alias("has_head"),
+            )
+            .filter("has_head")
+            .count()
+        )
+
+    base, hard = head_docs(0.25), head_docs(0.75)
+    assert hard > base * 1.8  # ~35% of docs → ~90%
+    # determinism: same args ⇒ identical corpus
+    a = synth.synth_documents(spark, 200, skew_prob=0.75)
+    b = synth.synth_documents(spark, 200, skew_prob=0.75)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
