@@ -48,7 +48,11 @@ class PipelineConfig:
     use_lsh_aliases: bool = False  # char-LSH alias edges (slow on tiny data)
     n_subset_partitions: int = 30
     checkpoint: str = "all"       # "all" | "final"
-    scoring: str = "column"       # "column" (hash stand-in) | "model_sim" (numpy kernel)
+    # "column" (hash stand-in) | "model_sim" (numpy kernel) | "checkpoint"
+    # (weights served from an executor-loaded .npz via iterator pandas UDF —
+    # the real-model contract; see pipeline/model_serving.py)
+    scoring: str = "column"
+    scorer_checkpoint: str | None = None  # .npz path for scoring="checkpoint"
     hash_mode: str = "xxhash64"   # "xxhash64" | "md5" (cross-engine oracle mode)
     lineage_stats: bool = True    # per-partition row counts in commit markers
     broadcast_entity_dims: bool = True  # hint entity-scaled dims (off at web scale)
@@ -188,6 +192,16 @@ def run_pipeline(
         gc = grounding.grounding_candidates(wl_cand, media)
         if cfg.scoring == "model_sim":
             scored = grounding.score_groundings_model_sim(gc)
+        elif cfg.scoring == "checkpoint":
+            from imgfact_spark.pipeline import model_serving
+
+            # md5-mode default checkpoint scores identically to the
+            # scoring="column" hash_mode="md5" path (pinned by
+            # test_pipeline_e2e), so the serving path is a drop-in
+            ckpt = cfg.scorer_checkpoint or model_serving.default_checkpoint_path(
+                "md5" if cfg.hash_mode == "md5" else "model"
+            )
+            scored = model_serving.score_groundings_checkpoint(gc, ckpt)
         else:
             scored = grounding.score_groundings(gc, hash_mode=cfg.hash_mode)
         filtered = grounding.filter_groundings(

@@ -189,3 +189,33 @@ def test_synth_skew_prob_amplifies_head_and_stays_deterministic(spark):
     a = synth.synth_documents(spark, 200, skew_prob=0.75)
     b = synth.synth_documents(spark, 200, skew_prob=0.75)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_checkpoint_scoring_is_dropin(spark, tmp_path):
+    """scoring='checkpoint' (weights deserialized per partition from an
+    executor-local .npz, model_serving) produces the IDENTICAL kg tables as
+    the in-engine column scorer under hash_mode='md5' — the serving path is
+    a pure refactor of where the weights live, end to end through the full
+    pipeline DAG."""
+    docs = synth.synth_documents(spark, 200).cache()
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+
+    def run(scoring, sub):
+        cfg = PipelineConfig(
+            checkpoint="final", scoring=scoring, hash_mode="md5",
+            lineage_stats=False,
+        )
+        store = TableStore(str(tmp_path / sub))
+        return run_pipeline(
+            spark, docs, r2d, ents, store, cfg,
+            input_fingerprint="ckpt-parity:200", materialize_input=False,
+        )
+
+    a = run("column", "col")
+    b = run("checkpoint", "ckpt")
+    for side in ("kg_triples", "kg_groundings"):
+        da, db = getattr(a, side), getattr(b, side)
+        assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0, side
+    assert a.kg_triples.count() > 0
