@@ -113,3 +113,29 @@ def test_bucketed_join_avoids_both_exchanges(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_checkpoint_scoring_ships_only_key_columns_through_arrow(spark):
+    """The serving UDF projects exactly (s, p, o, media_ref) into
+    ArrowEvalPython — every other gc column stays JVM-side instead of
+    round-tripping through the Python worker (the 2x-Arrow-traffic shape
+    the scalar-UDF refactor removed from score_groundings_model_sim)."""
+    from imgfact_spark.pipeline.model_serving import (
+        default_checkpoint_path,
+        score_groundings_checkpoint,
+    )
+
+    gc = spark.range(10).selectExpr(
+        "cast(id as string) s", "'rel' p", "cast(id as string) o",
+        "concat('img/', id) media_ref", "cast(id as string) doc_id",
+        "repeat('x', 100) wide_payload_col",
+    )
+    out = score_groundings_checkpoint(gc, default_checkpoint_path("md5"))
+    plan = _executed(out)
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert len(arrow_lines) == 1
+    line = arrow_lines[0]
+    for col in ("s", "p", "o", "media_ref"):
+        assert col in line
+    # the wide non-key column must not enter the Arrow exchange
+    assert "wide_payload_col" not in line
