@@ -119,6 +119,12 @@ def detect_mentions(text_spans: DataFrame, rel2desc: DataFrame) -> DataFrame:
     # text" into "plausible mentions" before a single byte is transferred.
     # Only sound when every template has a distinctive literal; otherwise
     # fall back to the kernel's own per-template prescan.
+    # Shape measured at the reference's 142-template scale
+    # (tools/mention_gate_bench.py, 2M rows): this contains-chain runs 3.3×
+    # FASTER than one rlike over a \Q…\E-quoted alternation (9.3 s vs
+    # 30.4 s) — java.util.regex retries every alternative at every position
+    # (NFA backtracking, no Aho-Corasick), while each contains() is a
+    # vectorized codegen substring scan.  Keep the chain.
     literals = [lit for _, _, lit in templates]
     if templates and all(literals):
         gate = F.col("text").contains(literals[0])
