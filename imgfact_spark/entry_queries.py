@@ -1521,10 +1521,18 @@ def _neardup_oracle_sql() -> str:
     sigs = ",\n             ".join(f"({sig_expr('v', t)}) AS sig{t}" for t in range(2))
     match = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(2))
     return f"""
-    WITH c AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v,
-             {sigs}
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
       FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.25 + 0.01) AS v
+      FROM embeddings WHERE vec_id < 30
+    ),
+    c AS (
+      SELECT vec_id, v,
+             {sigs}
+      FROM base
     )
     SELECT * FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1540,13 +1548,26 @@ def _neardup_oracle_sql() -> str:
 def d_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: SRP bucket self-join over
     (table, sig) + exact cosine verify — the embedding leg of the dedup
-    family, oracle-checked with plane-literal SQL like s_lsh_topk."""
+    family, oracle-checked with plane-literal SQL like s_lsh_topk.
+
+    The driver's random embeddings contain no organic pairs at the 0.4
+    threshold (the r1–r4 row matched on 0 rows — vacuously).  Both engines
+    now also plant 30 affine near-copies (``x·1.25 + 0.01``, ids +10000)
+    whose bucketing AND exact cosines the oracle replays, so the green row
+    certifies real detected pairs, not an empty set."""
     from imgfact_spark.operators.similarity import cosine_neardup_pairs
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
+    planted = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.25 + 0.01
+        ).alias("embedding"),
+    )
+    e = base.unionByName(planted)
     return cosine_neardup_pairs(
         e, dim=64, threshold=0.4, n_planes=8, n_tables=2, method="column"
     )
@@ -3123,7 +3144,10 @@ _DRIVER_SAMPLE_FIRST = [
     "ep_split_sets_sizes",
     "x_multiway_join_rollup",
     "r_select_results",
-    "t_bm25_topk",
+    # r5: d_cosine_neardup replaced its vacuous 0-row oracle with planted
+    # near-copies — takes t_bm25_topk's slot (that r4 row stays fresh
+    # through r6) so the changed query gets a current driver row
+    "d_cosine_neardup",
     "t_bm25_multi",
     "t_sample_stratified",
     "t_sample_weighted",
