@@ -51,24 +51,33 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     corpus_stats.collect()  # force execution of the driver-table path
 
+    import shutil
+
     docs = synth.synth_documents(spark, 500)
     kb = synth.kb_df(spark)
     ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
     r2d = synth.rel2desc_df(spark)
-    store = TableStore(tempfile.mkdtemp(prefix="imgfact_entry_"))
-    res = run_pipeline(
-        spark, docs, r2d, ents, store, PipelineConfig(checkpoint="final"),
-        input_fingerprint="synth:42:500",
-    )
-    g = res.kg_groundings.groupBy("s", "p", "o").agg(
-        F.count("*").alias("n_groundings"),
-        F.round(F.max("score"), 6).alias("best_score"),
-    )
-    return (
-        res.kg_triples.join(g, ["s", "p", "o"], "left")
-        .fillna(0, subset=["n_groundings"])
-        .select("s", "p", "o", "n_docs", "n_groundings", "best_score", "subset")
-    )
+    root = tempfile.mkdtemp(prefix="imgfact_entry_")
+    try:
+        store = TableStore(root)
+        res = run_pipeline(
+            spark, docs, r2d, ents, store, PipelineConfig(checkpoint="final"),
+            input_fingerprint="synth:42:500",
+        )
+        g = res.kg_groundings.groupBy("s", "p", "o").agg(
+            F.count("*").alias("n_groundings"),
+            F.round(F.max("score"), 6).alias("best_score"),
+        )
+        # eager localCheckpoint materializes the result off the store files
+        # so the working tempdir is removed instead of leaking per run
+        return (
+            res.kg_triples.join(g, ["s", "p", "o"], "left")
+            .fillna(0, subset=["n_groundings"])
+            .select("s", "p", "o", "n_docs", "n_groundings", "best_score", "subset")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
