@@ -3084,6 +3084,87 @@ def t_sample_weighted(spark, sf_dir):
     return out.select("doc_id", "n_chars", "sample_key")
 
 
+@_register(
+    "d_dup_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i.i : i.i + 4], ' ')), 1, 15))::BIGINT AS gh
+      FROM base, UNNEST(range(1, n_tokens - 3)) AS i(i)
+      WHERE n_tokens >= 5
+    ),
+    dup AS (
+      SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gh)
+      WHERE df >= 2
+    ),
+    starts AS (
+      SELECT doc_id,
+             LEAST(5, pos - COALESCE(LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                                     pos - 5)) AS c
+      FROM grams WHERE gh IN (SELECT gh FROM dup)
+    ),
+    cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM starts GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(v.dup_tokens, 0) AS dup_tokens,
+           FLOOR(CAST(COALESCE(v.dup_tokens, 0) AS DOUBLE) * 10000 / b.n_tokens)
+             / 10000 AS dup_ratio
+    FROM base b LEFT JOIN cov v ON b.doc_id = v.doc_id
+    """,
+)
+def d_dup_passages(spark, sf_dir):
+    """Exact duplicate-passage coverage per document (operators/dedup.
+    duplicate_passage_stats): fraction of each doc's tokens covered by a
+    5-gram that appears verbatim in >=2 documents — the Lee et al. 2022
+    exact-substring dedup signal as a distributed k-gram position join
+    with interval-union coverage.  md5 gram-hash mode for the oracle."""
+    from imgfact_spark.operators.dedup import duplicate_passage_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_passage_stats(d, "text", "doc_id", k=5, min_df=2, hash_mode="md5")
+
+
+@_register(
+    "x_cooccurrence_lift",
+    """
+    WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    ng AS (SELECT COUNT(DISTINCT g) AS n_groups FROM d),
+    ic AS (SELECT i, COUNT(*) AS c FROM d GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_both
+      FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, n_both, ca.c AS n_a, cb.c AS n_b,
+           CAST(FLOOR(CAST(n_both AS DOUBLE) * CAST(n_groups AS DOUBLE)
+                      / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lift_micros
+    FROM pairs
+    JOIN ic ca ON pairs.item_a = ca.i
+    JOIN ic cb ON pairs.item_b = cb.i
+    CROSS JOIN ng
+    ORDER BY lift_micros DESC, n_both DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def x_cooccurrence_lift(spark, sf_dir):
+    """Top-50 co-occurring item pairs by lift (operators/cooccurrence.
+    cooccurrence_lift) over (l_orderkey, l_partkey) baskets — the
+    entity-association statistic for relation discovery; lift computed in
+    IEEE double (bit-identical across engines), emitted as floor(x*1e6)
+    BIGINT so the compare is integral."""
+    from imgfact_spark.operators.cooccurrence import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver sample ordering.  The driver checks the FIRST 50 registered queries
 # each round; every registered query is equally verifiable locally
@@ -3137,8 +3218,10 @@ _DRIVER_SAMPLE_FIRST = [
     "mm_extract_features",
     "m6_cluster_representatives",
     "j9_messy_swap",
-    "w2_top5_membership",
-    "a2_group_collect_scored",
+    # w2_top5_membership / a2_group_collect_scored rotate out for the two
+    # queries new this session (their r4 rows stay fresh through r6)
+    "d_dup_passages",
+    "x_cooccurrence_lift",
     "ref_fixture_triple_pr",
     "ep_masked_inputs",
     "ep_split_sets_sizes",

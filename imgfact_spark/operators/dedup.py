@@ -377,3 +377,91 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ------------------------------------------------- duplicate-passage stats
+
+
+def duplicate_passage_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact duplicate-passage coverage per document: the fraction of each
+    document's tokens covered by some k-token span that also appears
+    verbatim in at least ``min_df - 1`` OTHER documents (the
+    exact-substring dedup signal of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array step
+    re-expressed as a distributed k-gram position join).
+
+    Pipeline (all shuffles on 64-bit keys, never text):
+      1. map-only: tokenize, emit every k-gram START position as
+         ``(gram_hash, doc, pos)`` — shuffle ∝ tokens × ~24 B.
+      2. two-phase ``countDistinct(doc)`` per gram hash → the duplicated
+         gram set (boilerplate heavy-hitters are absorbed by map-side
+         partial distinct + AQE skew split; output is one row per gram).
+      3. LEFT SEMI positions against the duplicated set, then per-doc
+         interval union via a lag window: a start at ``pos`` adds
+         ``min(k, pos - prev_pos)`` covered tokens, so overlapping
+         duplicate spans never double-count.
+
+    Cross-doc duplication only: a span repeated inside one document does
+    not count (``countDistinct``).  ``hash_mode='md5'`` makes the gram
+    hash DuckDB-replayable for oracle checking; production uses xxhash64.
+    Returns (id, n_tokens, dup_tokens, dup_ratio) with the ratio
+    floor-truncated at 1e-4 (cross-engine exact)."""
+    from pyspark.sql import Window
+
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_grams = F.col("n_tokens") - F.lit(k - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams.cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(gram_arr).alias("_p0", "_gram"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p0") + 1).cast("long").alias("_pos"),
+        _h64("_gram", hash_mode=hash_mode).alias("_gh"),
+    )
+    grams = snapshot(grams)  # gram relation feeds both the agg and the semi
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_gh")
+    )
+    starts = grams.join(dup, "_gh", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    covered = F.least(
+        F.lit(k).cast("long"),
+        F.col("_pos") - F.coalesce(F.lag("_pos").over(w), F.col("_pos") - k),
+    )
+    cov = (
+        starts.withColumn("_c", covered)
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("dup_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .fillna(0, subset=["dup_tokens"])
+        .withColumn(
+            "dup_ratio",
+            F.floor(F.col("dup_tokens").cast("double") * 10000 / F.col("n_tokens"))
+            / 10000,
+        )
+    )

@@ -152,3 +152,72 @@ def test_contamination_check_ratios(spark):
     assert got[1] == (2, 2, 1.0)
     assert got[2] == (2, 0, 0.0)
     assert got[3] == (2, 1, 0.5)
+
+
+# --------------------------------------------------- duplicate-passage stats
+
+
+def _brute_passage_cov(docs: dict[int, str], k: int = 5) -> dict[int, tuple[int, int]]:
+    """Python twin: (n_tokens, dup_tokens) per doc via explicit interval union."""
+    import re as _re
+
+    toks = {d: _re.sub(r"\s+", " ", t.lower().strip()).split(" ") for d, t in docs.items()}
+    gram_docs: dict[tuple, set] = {}
+    for d, t in toks.items():
+        for i in range(max(len(t) - k + 1, 0)):
+            gram_docs.setdefault(tuple(t[i : i + k]), set()).add(d)
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(max(len(t) - k + 1, 0)):
+            if len(gram_docs[tuple(t[i : i + k])]) >= 2:
+                covered.update(range(i, i + k))
+        out[d] = (len(t), len(covered))
+    return out
+
+
+def test_duplicate_passage_stats_interval_union(spark):
+    from imgfact_spark.operators.dedup import duplicate_passage_stats
+
+    docs = {
+        # A and B share a 7-token passage -> 3 duplicated 5-gram starts each,
+        # whose union must count 7 tokens, not 15
+        1: "alpha beta gamma delta epsilon zeta eta one two three",
+        2: "x1 x2 alpha beta gamma delta epsilon zeta eta x3",
+        # internal repetition only: the 5-gram repeats WITHIN one doc but in
+        # no other doc -> countDistinct rule says not duplicated
+        3: "rep rep rep rep rep rep rep rep",
+        # shorter than k -> zero grams, zero coverage
+        4: "tiny doc",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for hash_mode in ("xxhash64", "md5"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_ratio"])
+            for r in duplicate_passage_stats(
+                df, "text", "doc_id", k=5, min_df=2, hash_mode=hash_mode
+            ).collect()
+        }
+        want = _brute_passage_cov(docs, k=5)
+        assert {d: v[:2] for d, v in got.items()} == want
+        assert got[1] == (10, 7, 0.7)
+        assert got[2] == (10, 7, 0.7)
+        assert got[3][1] == 0
+        assert got[4] == (2, 0, 0.0)
+
+
+def test_duplicate_passage_stats_matches_brute_on_messy_corpus(spark):
+    """Randomized-ish corpus (deterministic construction) vs the python twin."""
+    from imgfact_spark.operators.dedup import duplicate_passage_stats
+
+    words = ["w%d" % (i % 7) for i in range(11)]
+    docs = {}
+    for d in range(12):
+        n = 5 + (d * 3) % 9
+        docs[d] = " ".join(words[(d * 5 + j) % len(words)] for j in range(n))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_passage_stats(df, "text", "doc_id", k=3).collect()
+    }
+    assert got == _brute_passage_cov(docs, k=3)

@@ -308,3 +308,64 @@ def test_length_quantiles_distinct_names_no_collision(spark):
     assert row.q999 >= row.q99 >= row.q50
     with _pytest.raises(ValueError, match="colliding"):
         length_quantiles(df, "v", ["g"], (0.99, 0.99))
+
+
+# ------------------------------------------------------- co-occurrence lift
+
+
+def test_cooccurrence_lift_counts_and_value(spark):
+    from imgfact_spark.operators.cooccurrence import cooccurrence_lift
+
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 2),  # duplicate membership row must not double-count
+        (3, 1), (3, 2), (3, 4),
+        (4, 3), (4, 4),
+        (5, 1), (5, 5),
+    ]
+    df = spark.createDataFrame(rows, "g long, i long")
+    out = cooccurrence_lift(df, "g", "i", min_pair_count=2, k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # (1,2) co-occurs in groups 1,2,3; n_1=4, n_2=3, N=5 -> lift 1.25
+    assert (r.item_a, r.item_b, r.n_both, r.n_a, r.n_b) == (1, 2, 3, 4, 3)
+    assert r.lift_micros == 1_250_000
+
+
+def test_cooccurrence_lift_brute_force_ordering(spark):
+    from imgfact_spark.operators.cooccurrence import cooccurrence_lift
+    import itertools, math
+
+    baskets = {g: {(g * j) % 6 for j in range(1, 4)} for g in range(1, 9)}
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "g long, i long")
+    out = [
+        (r.item_a, r.item_b, r.n_both, r.n_a, r.n_b, r.lift_micros)
+        for r in cooccurrence_lift(df, "g", "i", min_pair_count=1, k=100).collect()
+    ]
+    n_groups = len(baskets)
+    item_c: dict[int, int] = {}
+    pair_c: dict[tuple, int] = {}
+    for g, items in baskets.items():
+        for i in items:
+            item_c[i] = item_c.get(i, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_c[(a, b)] = pair_c.get((a, b), 0) + 1
+    want = [
+        (a, b, c, item_c[a], item_c[b],
+         math.floor(float(c) * float(n_groups) / (float(item_c[a]) * float(item_c[b])) * 1000000.0))
+        for (a, b), c in pair_c.items()
+    ]
+    want.sort(key=lambda t: (-t[5], -t[2], t[0], t[1]))
+    assert out == want
+
+
+def test_cooccurrence_lift_caps_heavy_groups(spark):
+    from imgfact_spark.operators.cooccurrence import cooccurrence_lift
+
+    rows = [(1, i) for i in range(10)] + [(2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    out = cooccurrence_lift(df, "g", "i", min_pair_count=1, k=100,
+                            max_items_per_group=2).collect()
+    # group 1 truncated to its first two items by id -> only pair (0,1) twice
+    assert [(r.item_a, r.item_b, r.n_both) for r in out] == [(0, 1, 2)]
