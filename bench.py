@@ -32,6 +32,9 @@ Queries:
   * text_gates     — PII redaction + repetition ratio over every document
                      plus per-lang exact length quantiles (new r4 corpus
                      gates; map-only except the quantile agg).
+  * dup_passages   — exact duplicate-passage coverage (Lee et al. 2022
+                     style 5-gram position join + interval union) over
+                     every document; xxhash64 production hash path.
   * kg_construct_skew — the same pipeline over a hard-skew corpus
                      (skew_prob=0.75: the planted head entity is in ~90% of
                      docs) — the measured cost of the AQE-skew-split/salted
@@ -250,6 +253,14 @@ def main() -> None:
             length_quantiles(d, "n_chars", by=["lang"]).count()
 
         bench_section("text_gates", text_gates_run)
+
+        def dup_passages_run():
+            from imgfact_spark.operators.dedup import duplicate_passage_stats
+
+            stats = duplicate_passage_stats(d, "text", "doc_id", k=5, min_df=2)
+            extras["dup_passage_docs"] = stats.filter(F.col("dup_tokens") > 0).count()
+
+        bench_section("dup_passages", dup_passages_run)
 
         # ------------------------------------------- kg variants: skew + dims
         # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the
