@@ -3130,6 +3130,69 @@ def d_dup_passages(spark, sf_dir):
 
 
 @_register(
+    "d_strip_dup_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i.i : i.i + 4], ' ')), 1, 15))::BIGINT AS gh
+      FROM base, UNNEST(range(1, n_tokens - 3)) AS i(i)
+      WHERE n_tokens >= 5
+    ),
+    stats AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS canon
+      FROM grams GROUP BY gh
+    ),
+    bad AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN stats s ON g.gh = s.gh
+      WHERE s.df >= 2 AND g.doc_id <> s.canon
+    ),
+    removed AS (
+      SELECT DISTINCT doc_id, pos + j.j AS rm FROM bad, UNNEST(range(0, 5)) AS j(j)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM removed),
+    tokens AS (
+      SELECT b.doc_id, i.i AS pos, t[i.i] AS tok
+      FROM base b, UNNEST(range(1, n_tokens + 1)) AS i(i)
+      WHERE b.doc_id IN (SELECT doc_id FROM affected)
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok FROM tokens tk
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = tk.doc_id AND r.rm = tk.pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM affected)
+                THEN COALESCE(r.n_kept_tokens, 0) ELSE b.n_tokens END AS n_kept_tokens,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM affected)
+                THEN COALESCE(r.cleaned_text, '') ELSE array_to_string(t, ' ') END
+             AS cleaned_text
+    FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """,
+)
+def d_strip_dup_passages(spark, sf_dir):
+    """Duplicate-passage REMOVAL (operators/dedup.strip_duplicate_passages):
+    every duplicated 5-gram span survives only in its canonical (min-id)
+    document; affected docs are rebuilt from their kept normalized tokens,
+    untouched docs pass through map-only.  md5 gram-hash mode for the
+    oracle."""
+    from imgfact_spark.operators.dedup import strip_duplicate_passages
+
+    d = _t(spark, sf_dir, "documents")
+    return strip_duplicate_passages(d, "text", "doc_id", k=5, min_df=2, hash_mode="md5")
+
+
+@_register(
     "x_cooccurrence_lift",
     """
     WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
@@ -3225,7 +3288,9 @@ _DRIVER_SAMPLE_FIRST = [
     "ref_fixture_triple_pr",
     "ep_masked_inputs",
     "ep_split_sets_sizes",
-    "x_multiway_join_rollup",
+    # x_multiway_join_rollup rotates out for the strip action (r4 row
+    # fresh through r6)
+    "d_strip_dup_passages",
     "r_select_results",
     # r5: d_cosine_neardup replaced its vacuous 0-row oracle with planted
     # near-copies — takes t_bm25_topk's slot (that r4 row stays fresh

@@ -465,3 +465,113 @@ def duplicate_passage_stats(
             / 10000,
         )
     )
+
+
+def strip_duplicate_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The dedup ACTION for duplicate passages: remove every k-token span
+    that also appears verbatim in >=``min_df - 1`` other documents, except
+    from the span's CANONICAL document (min id among the docs containing
+    it) — each duplicated passage survives exactly once corpus-wide, the
+    removal policy of Lee et al. 2022's exact-substring dedup.
+
+    Output text is the kept tokens of the NORMALIZED stream (lowercased,
+    whitespace-collapsed — the same tokenization the detection ran on)
+    joined by single spaces, so detection and removal operate on one
+    consistent token sequence.  Returns
+    (id, n_tokens, n_kept_tokens, cleaned_text).
+
+    Scale shape: the token-level explode/rebuild runs ONLY for documents
+    that actually lose a span (left-semi against the affected-doc set);
+    untouched documents pass through map-only as ``concat_ws(' ',
+    tokens)``.  At real-corpus dup rates (~1-10% of docs affected) the
+    expensive path is proportional to the duplicated slice, not the
+    corpus.  Gram shuffles are 64-bit hashes as in
+    ``duplicate_passage_stats``; ``hash_mode='md5'`` is the
+    DuckDB-replayable oracle mode."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_grams = F.col("n_tokens") - F.lit(k - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams.cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = snapshot(
+        base.select(F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")).select(
+            F.col(id_col),
+            (F.col("_p0") + 1).cast("long").alias("_pos"),
+            _h64("_gram", hash_mode=hash_mode).alias("_gh"),
+        )
+    )
+    dup_stats = (
+        grams.groupBy("_gh")
+        .agg(F.countDistinct(id_col).alias("_df"), F.min(id_col).alias("_canon"))
+        .filter(F.col("_df") >= min_df)
+        .select("_gh", "_canon")
+    )
+    bad_starts = grams.join(dup_stats, "_gh").filter(F.col(id_col) != F.col("_canon"))
+    removed = (
+        bad_starts.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))).alias("_rm"),
+        )
+        .distinct()
+    )
+    affected = removed.select(id_col).distinct()
+
+    untouched = (
+        base.join(affected, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_tokens").alias("n_kept_tokens"),
+            F.concat_ws(" ", "_t").alias("cleaned_text"),
+        )
+    )
+    tokens = (
+        base.join(affected, id_col, "left_semi")
+        .select(F.col(id_col), F.col("n_tokens"), F.posexplode("_t").alias("_p0", "_tok"))
+        .withColumn("_pos", (F.col("_p0") + 1).cast("long"))
+    )
+    kept = tokens.join(
+        removed,
+        (tokens[id_col] == removed[id_col]) & (tokens["_pos"] == removed["_rm"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
+        F.count("*").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # docs whose every token was removed have no `kept` rows at all
+    emptied = (
+        base.join(affected, id_col, "left_semi")
+        .join(rebuilt.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.lit(0).cast("long").alias("n_kept_tokens"),
+            F.lit("").alias("cleaned_text"),
+        )
+    )
+    return untouched.unionByName(rebuilt.select(*untouched.columns)).unionByName(
+        emptied
+    )

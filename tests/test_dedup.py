@@ -221,3 +221,66 @@ def test_duplicate_passage_stats_matches_brute_on_messy_corpus(spark):
         for r in duplicate_passage_stats(df, "text", "doc_id", k=3).collect()
     }
     assert got == _brute_passage_cov(docs, k=3)
+
+
+def _brute_strip(docs: dict[int, str], k: int = 5, min_df: int = 2):
+    """Python twin of strip_duplicate_passages (canonical doc = min id)."""
+    import re as _re
+
+    toks = {d: _re.sub(r"\s+", " ", t.lower().strip()).split(" ") for d, t in docs.items()}
+    gram_docs: dict[tuple, set] = {}
+    for d, t in toks.items():
+        for i in range(max(len(t) - k + 1, 0)):
+            gram_docs.setdefault(tuple(t[i : i + k]), set()).add(d)
+    out = {}
+    for d, t in toks.items():
+        removed = set()
+        for i in range(max(len(t) - k + 1, 0)):
+            g = gram_docs[tuple(t[i : i + k])]
+            if len(g) >= min_df and d != min(g):
+                removed.update(range(i, i + k))
+        kept = [tok for j, tok in enumerate(t) if j not in removed]
+        out[d] = (len(t), len(kept), " ".join(kept))
+    return out
+
+
+def test_strip_duplicate_passages_canonical_policy(spark):
+    from imgfact_spark.operators.dedup import strip_duplicate_passages
+
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta one two three",
+        2: "x1 x2 alpha beta gamma delta epsilon zeta eta x3",
+        3: "alpha beta gamma delta epsilon zeta eta one two three",  # full copy of 1
+        4: "tiny doc",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    for hash_mode in ("xxhash64", "md5"):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+            for r in strip_duplicate_passages(
+                df, "text", "doc_id", k=5, min_df=2, hash_mode=hash_mode
+            ).collect()
+        }
+        assert got == _brute_strip(docs, k=5)
+        # canonical doc keeps everything; the copy is emptied; B keeps its
+        # unshared frame tokens
+        assert got[1] == (10, 10, docs[1])
+        assert got[2] == (10, 3, "x1 x2 x3")
+        assert got[3] == (10, 0, "")
+        assert got[4] == (2, 2, "tiny doc")
+
+
+def test_strip_duplicate_passages_matches_brute_on_messy_corpus(spark):
+    from imgfact_spark.operators.dedup import strip_duplicate_passages
+
+    words = ["w%d" % (i % 7) for i in range(11)]
+    docs = {}
+    for d in range(12):
+        n = 5 + (d * 3) % 9
+        docs[d] = " ".join(words[(d * 5 + j) % len(words)] for j in range(n))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept_tokens"], r["cleaned_text"])
+        for r in strip_duplicate_passages(df, "text", "doc_id", k=3).collect()
+    }
+    assert got == _brute_strip(docs, k=3)
