@@ -1989,6 +1989,60 @@ def st_incremental_kg(spark, sf_dir):
 ORACLES["st_incremental_kg"] = _e2e_triples_oracle_sql()
 
 
+@_register("st_dedup_stream")
+def st_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup across a restart == batch DISTINCT: the
+    documents table arrives as two parquet file waves, the second of which
+    re-delivers 50 wave-1 documents verbatim (a re-crawl); each wave is
+    drained by an AvailableNow run of ``streaming.dedup_stream`` sharing
+    one checkpoint, so the state store must swallow the re-crawls.  The
+    surviving rows are exactly one per distinct document — the DuckDB
+    oracle is a plain projection of the full table.  Fingerprint is
+    md5(doc_id|text), cross-engine exact."""
+    import shutil
+    import tempfile
+
+    from imgfact_spark.streaming import dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fp = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    root = tempfile.mkdtemp(prefix="imgfact_stdedup_")
+    try:
+        in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+
+        def drain():
+            src = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 16)
+                .parquet(in_dir)
+            )
+            q = (
+                dedup_stream(src, fp)
+                .writeStream.option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start(out_dir)
+            )
+            q.awaitTermination()
+
+        docs.filter("doc_id < 250").write.mode("append").parquet(in_dir)
+        drain()
+        docs.filter("doc_id >= 250").write.mode("append").parquet(in_dir)
+        docs.filter("doc_id < 50").write.mode("append").parquet(in_dir)  # re-crawl
+        drain()
+        out = spark.read.parquet(out_dir).select("doc_id", fp.alias("fp"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLES["st_dedup_stream"] = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || text) AS fp
+FROM documents
+"""
+
+
 # =========================================================================
 # Read API (§3.2), streaming-equivalent windows, multimodal, clustering
 # =========================================================================
@@ -3275,7 +3329,9 @@ _DRIVER_SAMPLE_FIRST = [
     "st_incremental_kg",
     "api_retrieve_by_relation",
     "api_entity_vocab",
-    "st_windowed_event_counts",
+    # st_windowed_event_counts rotates out (r4 row fresh through r6) for the
+    # new streaming-dedup operator, which needs a first driver row
+    "st_dedup_stream",
     "st_sessionization",
     "mm_frame_sample",
     "mm_extract_features",

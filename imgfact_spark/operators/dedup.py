@@ -546,32 +546,29 @@ def strip_duplicate_passages(
         .select(F.col(id_col), F.col("n_tokens"), F.posexplode("_t").alias("_p0", "_tok"))
         .withColumn("_pos", (F.col("_p0") + 1).cast("long"))
     )
-    kept = tokens.join(
-        removed,
-        (tokens[id_col] == removed[id_col]) & (tokens["_pos"] == removed["_rm"]),
-        "left_anti",
+    # LEFT join + null-flag instead of left_anti so fully-removed documents
+    # keep their group (empty kept-list → "" text) — one token explode, one
+    # grouped pass, no second affected-docs subtree. `removed` is distinct
+    # on (id, _rm) so the join cannot multiply token rows.
+    flagged = tokens.join(
+        removed.withColumnRenamed(id_col, "_rm_id"),
+        (F.col(id_col) == F.col("_rm_id")) & (F.col("_pos") == F.col("_rm")),
+        "left",
     )
-    rebuilt = kept.groupBy(id_col, "n_tokens").agg(
-        F.count("*").alias("n_kept_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
-    # docs whose every token was removed have no `kept` rows at all
-    emptied = (
-        base.join(affected, id_col, "left_semi")
-        .join(rebuilt.select(id_col), id_col, "left_anti")
+    rebuilt = (
+        flagged.groupBy(id_col, "n_tokens")
+        .agg(
+            F.collect_list(
+                F.when(F.col("_rm").isNull(), F.struct("_pos", "_tok"))
+            ).alias("_kept")
+        )
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.lit(0).cast("long").alias("n_kept_tokens"),
-            F.lit("").alias("cleaned_text"),
+            F.size("_kept").cast("long").alias("n_kept_tokens"),
+            F.array_join(
+                F.transform(F.array_sort("_kept"), lambda s: s["_tok"]), " "
+            ).alias("cleaned_text"),
         )
     )
-    return untouched.unionByName(rebuilt.select(*untouched.columns)).unionByName(
-        emptied
-    )
+    return untouched.unionByName(rebuilt)

@@ -291,6 +291,43 @@ def sessionize_events_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    fingerprint_col,
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-arriving row per fingerprint
+    (on a batch DataFrame: identical ``dropDuplicates`` semantics).
+
+    State bounding is the scale contract: with ``ts_col`` the stream is
+    watermarked and deduped via ``dropDuplicatesWithinWatermark``, so a
+    key's state is dropped once the watermark passes it — the only viable
+    shape for an unbounded re-crawl feed (plain dropDuplicates state grows
+    with every distinct document ever seen).  Without ``ts_col`` it falls
+    back to unbounded ``dropDuplicates``, appropriate for bounded key
+    domains and finite backfills; the dedup state lives in the query
+    checkpoint either way, so an AvailableNow restart resumes with
+    everything already seen.
+
+    The reference is pure batch (SURVEY §2.10); this guards the
+    incremental-KG ingest path against re-crawled duplicate documents
+    re-entering extraction."""
+    c = (
+        F.col(fingerprint_col)
+        if isinstance(fingerprint_col, str)
+        else fingerprint_col
+    )
+    out = df.withColumn("_fp", c)
+    if df.isStreaming and ts_col is not None:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_fp"]
+        )
+    else:
+        out = out.dropDuplicates(["_fp"])
+    return out.drop("_fp")
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

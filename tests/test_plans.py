@@ -139,3 +139,30 @@ def test_checkpoint_scoring_ships_only_key_columns_through_arrow(spark):
         assert col in line
     # the wide non-key column must not enter the Arrow exchange
     assert "wide_payload_col" not in line
+
+
+def test_duplicate_passage_plans(spark):
+    """The passage-dedup family's scale invariants: gram construction is
+    materialized once behind the snapshot (never re-derived per consumer),
+    the duplicated-gram gate is a semi join, and the strip operator's
+    token-level rebuild exists on exactly ONE branch — untouched documents
+    pass through without any token explode."""
+    from imgfact_spark.operators.dedup import (
+        duplicate_passage_stats,
+        strip_duplicate_passages,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+
+    stats_plan = _executed(duplicate_passage_stats(d, "text", "doc_id", k=5))
+    # gram posexplode ran inside the snapshot; the visible plan reads it
+    assert "Generate posexplode" not in stats_plan
+    assert "LeftSemi" in stats_plan
+    assert "CartesianProduct" not in stats_plan
+
+    strip_plan = _executed(strip_duplicate_passages(d, "text", "doc_id", k=5))
+    # exactly one token posexplode: the affected-docs rebuild branch; the
+    # untouched branch is a map-only concat_ws behind an anti join
+    assert strip_plan.count("Generate posexplode") == 1
+    assert "LeftAnti" in strip_plan and "LeftSemi" in strip_plan
+    assert "CartesianProduct" not in strip_plan

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from imgfact_spark import synth
 from imgfact_spark.streaming import ingest_spans_incremental, windowed_event_counts
 
@@ -292,3 +294,62 @@ def test_windowed_counts_late_data_cannot_change_finalized_window(spark, tmp_pat
     # the 03:00 window is still open (watermark never passed 04:00) — in
     # append mode it must not have been emitted
     assert not any(h == 3 for h, _ in all_rows), emitted
+
+
+def test_dedup_stream_drops_recrawled_docs_across_restarts(spark, tmp_path):
+    """Two-wave AvailableNow run: wave 2 re-delivers 10 wave-1 documents as
+    new files; the checkpointed dedup state must swallow them so only
+    genuinely new documents reach the sink."""
+    from imgfact_spark.streaming import dedup_stream, stream_documents
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    fp = F.xxhash64(F.to_json(F.col("spans")))
+
+    synth.synth_documents(spark, 50).write.mode("append").parquet(in_dir)
+    q = (
+        dedup_stream(stream_documents(spark, in_dir), fp)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out_dir)
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 50
+
+    # wave 2: 50 new docs + 10 re-crawled wave-1 docs (same content, new files)
+    synth.synth_documents(spark, 100).filter(
+        "doc_id >= 'doc_000000050'"
+    ).write.mode("append").parquet(in_dir)
+    synth.synth_documents(spark, 10).write.mode("append").parquet(in_dir)
+    q = (
+        dedup_stream(stream_documents(spark, in_dir), fp)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(out_dir)
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 100  # the 10 re-crawls were dropped
+    assert got.select("doc_id").distinct().count() == 100
+
+    # batch parity: same operator on a batch frame == dropDuplicates
+    batch = synth.synth_documents(spark, 60).unionByName(
+        synth.synth_documents(spark, 10)
+    )
+    assert dedup_stream(batch, fp).count() == 60
+
+
+def test_dedup_stream_within_watermark_plan(spark):
+    """With an event-time column the stream must compile to the
+    state-bounded dropDuplicatesWithinWatermark, not unbounded dedup."""
+    from imgfact_spark.streaming import dedup_stream
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )  # schema: (timestamp, value)
+    out = dedup_stream(src, F.col("value"), ts_col="timestamp", watermark="10 minutes")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "dropDuplicatesWithinWatermark" in plan.lower().replace("-", "") or \
+        "DeduplicateWithinWatermark".lower() in plan.lower()
