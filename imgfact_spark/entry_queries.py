@@ -3139,6 +3139,103 @@ def t_sample_weighted(spark, sf_dir):
 
 
 @_register(
+    "t_sample_mixture",
+    r"""
+    WITH w(source, w) AS (VALUES ('src0', 0.2), ('src1', 0.3), ('src2', 0.5)),
+    n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    r AS (SELECT n.source,
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       CAST(60.0 AS DOUBLE) * CAST(w.w AS DOUBLE)
+                         / CAST(n.n_s AS DOUBLE)) AS rate
+          FROM n JOIN w USING (source)),
+    keyed AS (
+      SELECT d.doc_id, d.source, r.rate,
+             ('0x' || substr(md5('23' || chr(31) || CAST(d.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT doc_id, source, k / CAST(1152921504606846976 AS DOUBLE) AS mix_u
+    FROM keyed
+    WHERE k < CAST(FLOOR(rate * CAST(1152921504606846976 AS DOUBLE)) AS BIGINT)
+    """,
+)
+def t_sample_mixture(spark, sf_dir):
+    """Deterministic data-mixture sampling (operators/sampling.
+    sample_mixture): re-weight three corpus sources to 20/30/50 target
+    proportions within a 60-doc budget.  Per-source keep-rate =
+    min(1, budget·wₛ/nₛ) (src2's rate caps at 1 — the whole slice is
+    taken); a row survives iff its seeded md5 integer clears the rate
+    threshold, so membership is reproducible across engines and monotone
+    in the budget.  The corpus-mixing step of web-scale training-data
+    pipelines; the reference mixes single-node via one random.shuffle
+    (CPgen.py:85-87)."""
+    from imgfact_spark.operators.sampling import sample_mixture
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sample_mixture(
+        d, "source", {"src0": 0.2, "src1": 0.3, "src2": 0.5}, budget=60, seed=23
+    )
+    return out.select("doc_id", "source", "mix_u")
+
+
+@_register(
+    "t_pack_sequences",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             ('0x' || substr(md5('13' || chr(31) || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS k
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS strt
+      FROM toks WHERE n_tokens > 0
+    ),
+    frags AS (
+      SELECT doc_id, strt, n_tokens,
+             UNNEST(range(strt // 256, (strt + n_tokens - 1) // 256 + 1))
+               AS seq_id
+      FROM pos
+    )
+    SELECT seq_id, doc_id,
+           GREATEST(strt, seq_id * 256) - strt AS doc_offset,
+           GREATEST(strt, seq_id * 256) - seq_id * 256 AS seq_offset,
+           LEAST(strt + n_tokens, (seq_id + 1) * 256)
+             - GREATEST(strt, seq_id * 256) AS frag_tokens
+    FROM frags
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.pack_sequences): md5-shuffle the
+    corpus, concatenate, slice into 256-token training sequences — one row
+    per (sequence, document-fragment), bit-identical to the single-process
+    shuffle→concat→chunk the reference's loaders perform (CPgen.py:85-87).
+    The global token offset is an exact distributed prefix sum (range
+    partition + per-partition windows + broadcast partition offsets), never
+    a global window; documents fan out only to sequences they straddle."""
+    from imgfact_spark.functions.text import token_count
+    from imgfact_spark.operators.packing import pack_sequences
+    from imgfact_spark.operators.sampling import seeded_key
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d,
+        "doc_id",
+        "n_tokens",
+        seq_len=256,
+        order_by=[seeded_key(13, "doc_id"), F.col("doc_id")],
+    )
+
+
+@_register(
     "d_dup_passages",
     r"""
     WITH toks AS (
@@ -3353,8 +3450,11 @@ _DRIVER_SAMPLE_FIRST = [
     # through r6) so the changed query gets a current driver row
     "d_cosine_neardup",
     "t_bm25_multi",
-    "t_sample_stratified",
-    "t_sample_weighted",
+    # t_sample_stratified / t_sample_weighted rotate out (r4 rows fresh
+    # through r6, code paths untouched) for this round's two new
+    # training-data operators, which need first driver rows
+    "t_sample_mixture",
+    "t_pack_sequences",
     "t_pii_redact",
     "t_repetition_ratio",
     "t_corpus_length_profile",

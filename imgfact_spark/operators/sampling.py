@@ -78,6 +78,64 @@ def sample_stratified(
     )
 
 
+def sample_mixture(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    budget: int,
+    seed: int | str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: draw ≈``budget`` rows whose
+    source composition follows ``weights`` (the corpus-mixing step of
+    web-scale training-data pipelines — re-weighting crawl/books/code/news
+    slices to target proportions before packing).
+
+    Per-source keep-rate = min(1, budget·wₛ / nₛ) with nₛ the source's
+    population (a ≤|sources|-row aggregate, broadcast back — never a
+    driver-side materialization of the population); a row survives iff its
+    seeded 60-bit md5 integer < floor(rate · 2⁶⁰).  Expected per-source
+    yield is budget·wₛ (exact when the rate caps at 1); membership is a
+    pure function of (seed, id, corpus composition) — reproducible across
+    runs, partitionings and engines, and STABLE under budget growth: the
+    kept set at budget b is a subset of the kept set at any b' > b (the
+    threshold only moves up), so growing a training mix never churns
+    already-selected documents.  Sources absent from ``weights`` are
+    dropped.  The rate arithmetic is plain IEEE-double mul/div/min and the
+    comparison is integer — cross-engine exact (CLAUDE.md md5→bigint
+    contract).
+
+    Emits the input row plus the engine-stable unit-interval draw
+    ``mix_u`` (key / 2⁶⁰).
+    """
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, float(w)) for s, w in sorted(weights.items())],
+            schema=f"{source_col} string, _w double",
+        )
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").cast("long").alias("_n"))
+    rates = counts.join(wdf, source_col).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("_w") / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    key = seeded_key(seed, id_col)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("_key", key)
+        .filter(
+            F.col("_key")
+            < F.floor(F.col("_rate") * F.lit(_MD5_SPAN)).cast("bigint")
+        )
+        .withColumn("mix_u", F.col("_key").cast("double") / F.lit(_MD5_SPAN))
+        .drop("_rate", "_key")
+    )
+
+
 def sample_weighted(
     df: DataFrame,
     k: int,

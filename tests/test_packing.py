@@ -1,0 +1,130 @@
+"""Sequence packing vs an independent single-process python oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.packing import pack_sequences, with_token_offset
+from imgfact_spark.operators.sampling import seeded_key
+
+
+def _md5key(seed, *parts) -> int:
+    joined = "\x1f".join([str(seed)] + [str(p) for p in parts])
+    return int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+
+
+def _oracle_pack(docs: dict[int, int], seed: int, L: int) -> set[tuple]:
+    """Shuffle→concatenate→slice in one process: the semantics the
+    distributed operator must reproduce bit-for-bit."""
+    order = sorted(
+        (i for i, n in docs.items() if n > 0), key=lambda i: (_md5key(seed, i), i)
+    )
+    out, start = set(), 0
+    for i in order:
+        n = docs[i]
+        for s in range(start // L, (start + n - 1) // L + 1):
+            lo, hi = max(start, s * L), min(start + n, (s + 1) * L)
+            out.add((s, i, lo - start, lo - s * L, hi - lo))
+        start += n
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # lengths exercise every edge: exact multiples of L, 1-token docs,
+    # zero-token docs (dropped), and a doc far longer than L (straddles
+    # many sequences)
+    lens = {i: (i * 29) % 57 for i in range(160)}
+    lens[7], lens[40], lens[71], lens[99] = 64, 0, 1, 500
+    df = spark.createDataFrame(
+        [(i, n) for i, n in lens.items()], "doc_id long, n_tokens long"
+    )
+    return df, lens
+
+
+def _run(df, L=64, parts=None):
+    rows = pack_sequences(
+        df,
+        "doc_id",
+        "n_tokens",
+        seq_len=L,
+        order_by=[seeded_key(13, "doc_id"), F.col("doc_id")],
+        num_partitions=parts,
+    ).collect()
+    return {
+        (r.seq_id, r.doc_id, r.doc_offset, r.seq_offset, r.frag_tokens)
+        for r in rows
+    }
+
+
+def test_pack_matches_single_process_oracle(docs):
+    df, lens = docs
+    assert _run(df) == _oracle_pack(lens, seed=13, L=64)
+
+
+def test_pack_invariants(docs):
+    df, lens = docs
+    got = sorted(_run(df))
+    total = sum(lens.values())
+    # every sequence but the last holds exactly L tokens, fragments tile it
+    per_seq: dict[int, list] = {}
+    for s, i, do, so, n in got:
+        per_seq.setdefault(s, []).append((so, n))
+    last = max(per_seq)
+    for s, frags in per_seq.items():
+        frags.sort()
+        assert frags[0][0] == 0
+        for (a, na), (b, _) in zip(frags, frags[1:]):
+            assert a + na == b, "fragments must tile the sequence gaplessly"
+        width = frags[-1][0] + frags[-1][1]
+        assert width == (64 if s != last else total - last * 64)
+    # every document's tokens are assigned exactly once, in order
+    per_doc: dict[int, list] = {}
+    for s, i, do, so, n in got:
+        per_doc.setdefault(i, []).append((do, n))
+    assert set(per_doc) == {i for i, n in lens.items() if n > 0}
+    for i, frags in per_doc.items():
+        frags.sort()
+        assert frags[0][0] == 0
+        for (a, na), (b, _) in zip(frags, frags[1:]):
+            assert a + na == b
+        assert frags[-1][0] + frags[-1][1] == lens[i]
+
+
+def test_pack_partitioning_invariance(docs):
+    df, _ = docs
+    assert _run(df) == _run(df.repartition(7), parts=3)
+
+
+def test_token_offset_is_exact_prefix_sum(docs):
+    df, lens = docs
+    got = {
+        r.doc_id: r.token_offset
+        for r in with_token_offset(
+            df, "n_tokens", [seeded_key(13, "doc_id"), F.col("doc_id")]
+        ).collect()
+    }
+    order = sorted(lens, key=lambda i: (_md5key(13, i), i))
+    want, acc = {}, 0
+    for i in order:
+        want[i] = acc
+        acc += lens[i]
+    assert got == want
+
+
+def test_pack_plan_has_no_global_window_or_cartesian(docs):
+    df, _ = docs
+    out = pack_sequences(
+        df, "doc_id", "n_tokens", 64,
+        order_by=[seeded_key(13, "doc_id"), F.col("doc_id")],
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" in plan
+    # the prefix-sum windows are per-range-partition; nothing may funnel
+    # the fact data through one task
+    assert "Exchange SinglePartition" not in plan

@@ -10,6 +10,7 @@ import pytest
 from imgfact_spark.operators.retrieval import bm25_topk, bm25_topk_queries
 from imgfact_spark.operators.sampling import (
     sample_global,
+    sample_mixture,
     sample_stratified,
     sample_weighted,
 )
@@ -82,6 +83,52 @@ def test_sample_weighted_prefers_heavy_rows(spark):
     picked = sample_weighted(df, 100, seed=1, weight_col="w").collect()
     heavy = sum(1 for r in picked if r.doc_id < 500)
     assert heavy > 85
+
+
+def _mix_twin(rows, weights, budget, seed):
+    """Single-process twin of sample_mixture's membership rule."""
+    from collections import Counter
+
+    n = Counter(src for _, src in rows)
+    span = 1 << 60
+    kept = set()
+    for i, src in rows:
+        if src not in weights:
+            continue
+        rate = min(1.0, float(budget) * weights[src] / float(n[src]))
+        if _md5key(seed, i) < int(rate * span):
+            kept.add(i)
+    return kept
+
+
+def test_sample_mixture_matches_twin_and_caps(spark):
+    rows = [(i, f"s{i % 4}") for i in range(400)]  # 100 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 0.1, "s1": 0.3, "s3": 0.6}  # s2 absent → dropped
+    got = sample_mixture(df, "source", weights, budget=120, seed=9).collect()
+    assert {r.doc_id for r in got} == _mix_twin(rows, weights, 120, 9)
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert "s2" not in by_src
+    # s3's rate caps at 1 (120·0.6 = 72 < 100 → no cap here; push it)
+    got2 = sample_mixture(df, "source", weights, budget=300, seed=9).collect()
+    n2 = sum(1 for r in got2 if r.source == "s3")
+    assert n2 == 100, "rate ≥ 1 must keep the whole slice"
+    # draw values are the engine-stable unit-interval key
+    for r in got:
+        assert 0.0 <= r.mix_u < 1.0
+
+
+def test_sample_mixture_monotone_in_budget(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 0.5, "s1": 0.3, "s2": 0.2}
+    small = {r.doc_id for r in sample_mixture(df, "source", w, 60, seed=4).collect()}
+    big = {r.doc_id for r in sample_mixture(df, "source", w, 150, seed=4).collect()}
+    assert small <= big, "growing the budget must never evict selected docs"
+    assert len(big) > len(small)
 
 
 def test_bm25_matches_pandas_oracle(corpus):
