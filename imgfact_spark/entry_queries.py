@@ -3236,6 +3236,42 @@ def t_pack_sequences(spark, sf_dir):
 
 
 @_register(
+    "t_fingerprint_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT)
+             AS bpe_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(
+                           string_split(lower(trim(regexp_replace(
+                             text, '\s+', ' ', 'g'))), ' '),
+                           t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+                       (h, t) -> (h * 131 + t) % 2147483647)
+           END AS BIGINT) AS rolling_fp
+    FROM documents
+    """,
+)
+def t_fingerprint_tokens(spark, sf_dir):
+    """BPE-ish token counting + Rabin–Karp rolling fingerprint
+    (functions/text.token_count_bpe, rolling_fingerprint): the GPT-style
+    pre-tokenizer count (letter runs / per-digit / per-symbol) and the
+    order-sensitive prefix-composable content hash — both pure column
+    expressions that fuse into the scan projection (vs doc_fingerprint's
+    order-insensitive-normalization xxhash used by exact_dedup)."""
+    from imgfact_spark.functions.text import rolling_fingerprint, token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_bpe("text").cast("long").alias("bpe_tokens"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+@_register(
     "d_dup_passages",
     r"""
     WITH toks AS (
@@ -3456,7 +3492,9 @@ _DRIVER_SAMPLE_FIRST = [
     "t_sample_mixture",
     "t_pack_sequences",
     "t_pii_redact",
-    "t_repetition_ratio",
+    # t_repetition_ratio rotates out (r4 row fresh through r6, code
+    # untouched) for the new fingerprint/BPE-count functions
+    "t_fingerprint_tokens",
     "t_corpus_length_profile",
     # new this round: executor-side per-partition model-checkpoint scoring (M2)
     "m2_checkpoint_scoring",

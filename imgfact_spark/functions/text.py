@@ -203,3 +203,42 @@ def doc_fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normed = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return F.xxhash64(normed)
+
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single symbols — the
+# GPT-2-style split shape (digits one-per-token).  Whitespace is spelled as
+# an explicit char class (NOT \s) because Java regex counts \x0B as \s and
+# RE2 does not — with the explicit class both engines agree on every char.
+_BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs, per-digit numbers, and single
+    punctuation/symbol chars each count as one token (the shape a GPT-style
+    pre-tokenizer produces, without shipping a vocab).  Pure JVM regex —
+    fuses into the scan projection.  Non-BMP chars (outside UTF-16's basic
+    plane) may count differently than an RE2 oracle; the corpus contract
+    here is BMP text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def rolling_fingerprint(col: Column | str, base: int = 131) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) of the normalized token stream:
+    h ← (h·base + tokenhash) mod (2³¹−1), folded left-to-right — the
+    order-SENSITIVE counterpart of ``doc_fingerprint`` (xxhash of the
+    joined string): prefix-composable, so a chunked scanner can extend a
+    stored prefix hash without re-reading the document.  Token hash is the
+    28-bit md5 hex prefix (engine-portable); the fold stays < 2³⁸ so ANSI
+    bigint arithmetic can never overflow.  Blank text → 0."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    toks = F.split(F.lower(F.regexp_replace(c, r"\s+", " ")), " ")
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+    )
+    folded = F.aggregate(
+        hashed,
+        F.lit(0).cast("bigint"),
+        lambda h, t: (h * F.lit(base) + t) % F.lit(2147483647),
+    )
+    return F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(folded)

@@ -116,6 +116,60 @@ def test_doc_fingerprint_normalization(spark):
     assert got[0] == got[1] != got[2]
 
 
+def _rolling_twin(text: str) -> int:
+    import hashlib
+    import re as _re
+
+    t = text.strip()
+    if not t:
+        return 0
+    h = 0
+    for tok in _re.sub(r"\s+", " ", t.lower()).split(" "):
+        th = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
+        h = (h * 131 + th) % 2147483647
+    return h
+
+
+def test_rolling_fingerprint_matches_twin_and_is_order_sensitive(spark):
+    from imgfact_spark.functions.text import rolling_fingerprint
+
+    texts = ["alpha beta gamma", "beta alpha gamma", "  Spaced   Out ",
+             "", "   ", "one", "42 7 42", "a b a b a"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["f"] for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
+    assert got == [_rolling_twin(t) for t in texts]
+    # order-SENSITIVE (unlike a bag hash): swapped tokens change the value
+    assert got[0] != got[1]
+
+
+def test_rolling_fingerprint_prefix_composable():
+    # h(a ++ b) extends h(a) by folding b's tokens — the chunked-scanner
+    # contract claimed in the docstring
+    import hashlib
+
+    a, b = "lorem ipsum dolor", "sit amet"
+    h = _rolling_twin(a)
+    for tok in b.lower().split(" "):
+        th = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
+        h = (h * 131 + th) % 2147483647
+    assert h == _rolling_twin(a + " " + b)
+
+
+def test_token_count_bpe_matches_re_twin(spark):
+    import re as _re
+
+    from imgfact_spark.functions.text import _BPE_TOKEN_PATTERN, token_count_bpe
+
+    texts = ["Hello, world!", "abc123def", "42.5%", "", "   ",
+             "a_b-c", "x  y\tz\n", "don't stop-me now!!"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["n"] for r in df.select(token_count_bpe("t").alias("n")).collect()]
+    assert got == [len(_re.findall(_BPE_TOKEN_PATTERN, t)) for t in texts]
+    # shape checks: digits split per-char, letter runs stay whole
+    assert got[1] == 5  # abc | 1 | 2 | 3 | def
+    assert got[2] == 5  # 4 | 2 | . | 5 | %
+
+
 def test_redact_pii_known_strings(spark):
     from imgfact_spark.functions.text import redact_pii
 
