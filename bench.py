@@ -35,6 +35,9 @@ Queries:
   * dup_passages   — exact duplicate-passage coverage (Lee et al. 2022
                      style 5-gram position join + interval union) over
                      every document; xxhash64 production hash path.
+  * packing        — sequence packing: whitespace token counts + exact
+                     distributed prefix sum + fragment fan-out into
+                     512-token training sequences over every document.
   * kg_construct_skew — the same pipeline over a hard-skew corpus
                      (skew_prob=0.75: the planted head entity is in ~90% of
                      docs) — the measured cost of the AQE-skew-split/salted
@@ -261,6 +264,22 @@ def main() -> None:
             extras["dup_passage_docs"] = stats.filter(F.col("dup_tokens") > 0).count()
 
         bench_section("dup_passages", dup_passages_run)
+
+        def packing_run():
+            from imgfact_spark.functions.text import token_count
+            from imgfact_spark.operators.packing import pack_sequences
+            from imgfact_spark.operators.sampling import seeded_key
+
+            toks = d.select("doc_id", token_count("text").alias("n_tokens"))
+            frags = pack_sequences(
+                toks, "doc_id", "n_tokens", seq_len=512,
+                order_by=[seeded_key(13, "doc_id"), F.col("doc_id")],
+            )
+            extras["packed_seqs"] = frags.agg(
+                (F.max("seq_id") + 1).alias("n")
+            ).collect()[0]["n"]
+
+        bench_section("packing", packing_run)
 
         # ------------------------------------------- kg variants: skew + dims
         # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the
