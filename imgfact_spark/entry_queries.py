@@ -1212,6 +1212,52 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_register(
+    "d_dup_components",
+    r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      FROM documents WHERE doc_id < 80
+    ),
+    edges AS (
+      SELECT a.doc_id AS s, b.doc_id AS d
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+            / len(list_distinct(a.toks || b.toks)) >= 0.62
+    ),
+    sym AS (SELECT s AS a, d AS b FROM edges UNION SELECT d, s FROM edges),
+    r(node, reach) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.node, s.b FROM r JOIN sym s ON r.reach = s.a
+    )
+    SELECT node AS doc_id, LEAST(node, MIN(reach)) AS component
+    FROM r GROUP BY node
+    """,
+)
+def d_dup_components(spark, sf_dir):
+    """Near-dup clusters as connected components: the Jaccard pair relation
+    (d_ngram_jaccard_pairs' edge set) resolved to one min-id label per
+    component by iterative hash-min label propagation
+    (operators/connected_components — O(diameter) rounds, one shuffle per
+    round, localCheckpoint-truncated lineage).  The dedup ACTION consumes
+    this: keep component == doc_id, drop the rest.  Oracle: transitive
+    closure by recursive CTE, component = min reachable node."""
+    from imgfact_spark.operators.connected_components import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sh = d.select(F.col("doc_id"), toks.alias("toks"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    edges = a.join(b, F.col("id_a") < F.col("id_b")).filter(jac >= 0.62)
+    comp = connected_components(edges, src="id_a", dst="id_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@_register(
     "d_minhash_lsh_pairs",
     r"""
     WITH toks AS (
@@ -3460,7 +3506,10 @@ _DRIVER_SAMPLE_FIRST = [
     # gains a value-hash oracle this round and must be driver-certified)
     "kg_construct_triples",
     "st_incremental_kg",
-    "api_retrieve_by_relation",
+    # api_retrieve_by_relation rotates out (r4 row fresh through r6,
+    # untouched) for the components query, which converts the one
+    # pytest-only dedup-tier cell to driver-checked
+    "d_dup_components",
     "api_entity_vocab",
     # st_windowed_event_counts rotates out (r4 row fresh through r6) for the
     # new streaming-dedup operator, which needs a first driver row
