@@ -3288,7 +3288,8 @@ def t_pack_sequences(spark, sf_dir):
            CAST(len(regexp_extract_all(
              text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0B]')) AS BIGINT)
              AS bpe_tokens,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           CAST(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+                THEN 0
                 ELSE list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
                          list_transform(

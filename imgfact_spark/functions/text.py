@@ -230,9 +230,15 @@ def rolling_fingerprint(col: Column | str, base: int = 131) -> Column:
     joined string): prefix-composable, so a chunked scanner can extend a
     stored prefix hash without re-reading the document.  Token hash is the
     28-bit md5 hex prefix (engine-portable); the fold stays < 2³⁸ so ANSI
-    bigint arithmetic can never overflow.  Blank text → 0."""
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
-    toks = F.split(F.lower(F.regexp_replace(c, r"\s+", " ")), " ")
+    bigint arithmetic can never overflow.  Blank text → 0.
+
+    Normalization is collapse-THEN-trim (the same order as doc_fingerprint
+    and the gram tokenizers): Spark's trim strips only ASCII spaces, so
+    trimming first would leave edge tabs/newlines to become empty tokens
+    and diverge from the regex-normalized oracle."""
+    raw = F.col(col) if isinstance(col, str) else col
+    c = F.trim(F.regexp_replace(raw, r"\s+", " "))
+    toks = F.split(F.lower(c), " ")
     hashed = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
     )

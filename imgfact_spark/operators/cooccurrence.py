@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from imgfact_spark.operators.util import ensure_parallelism
+from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
 
 def cooccurrence_lift(
@@ -60,6 +60,10 @@ def cooccurrence_lift(
             .filter(F.col("_rn") <= max_items_per_group)
             .drop("_rn")
         )
+    # four consumers below (group count, item counts, both self-join
+    # sides): materialize the distinct/truncated relation once instead of
+    # re-running the corpus-wide distinct per subtree
+    d = snapshot(d)
     n_groups = d.select("_g").distinct().agg(F.count("*").alias("_n_groups"))
     item_counts = d.groupBy("_i").agg(F.count("*").alias("_c"))
 

@@ -382,6 +382,39 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------- duplicate-passage stats
 
 
+def _gram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int, hash_mode: str
+):
+    """Shared tokenize → k-gram start-position relation for the
+    duplicate-passage family: returns ``(base, grams)`` where base is
+    (id, _t normalized-token array, n_tokens) and grams is the snapshot'd
+    (id, _pos 1-based gram start, _gh 64-bit gram hash).  One definition so
+    detection (duplicate_passage_stats) and removal
+    (strip_duplicate_passages) can never tokenize differently."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_grams = F.col("n_tokens") - F.lit(k - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams.cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = snapshot(
+        base.select(F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")).select(
+            F.col(id_col),
+            (F.col("_p0") + 1).cast("long").alias("_pos"),
+            _h64("_gram", hash_mode=hash_mode).alias("_gh"),
+        )
+    )
+    return base, grams
+
+
 def duplicate_passage_stats(
     df: DataFrame,
     text_col: str,
@@ -415,29 +448,8 @@ def duplicate_passage_stats(
     floor-truncated at 1e-4 (cross-engine exact)."""
     from pyspark.sql import Window
 
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    base = ensure_parallelism(df).select(
-        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
-    )
-    n_grams = F.col("n_tokens") - F.lit(k - 1)
-    gram_arr = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams.cast("int")),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = base.select(
-        F.col(id_col),
-        F.posexplode(gram_arr).alias("_p0", "_gram"),
-    ).select(
-        F.col(id_col),
-        (F.col("_p0") + 1).cast("long").alias("_pos"),
-        _h64("_gram", hash_mode=hash_mode).alias("_gh"),
-    )
-    grams = snapshot(grams)  # gram relation feeds both the agg and the semi
+    # gram relation (snapshot'd) feeds both the agg and the semi
+    base, grams = _gram_positions(df, text_col, id_col, k, hash_mode)
     dup = (
         grams.groupBy("_gh")
         .agg(F.countDistinct(id_col).alias("_df"))
@@ -495,27 +507,7 @@ def strip_duplicate_passages(
     corpus.  Gram shuffles are 64-bit hashes as in
     ``duplicate_passage_stats``; ``hash_mode='md5'`` is the
     DuckDB-replayable oracle mode."""
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    base = ensure_parallelism(df).select(
-        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
-    )
-    n_grams = F.col("n_tokens") - F.lit(k - 1)
-    gram_arr = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams.cast("int")),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = snapshot(
-        base.select(F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")).select(
-            F.col(id_col),
-            (F.col("_p0") + 1).cast("long").alias("_pos"),
-            _h64("_gram", hash_mode=hash_mode).alias("_gh"),
-        )
-    )
+    base, grams = _gram_positions(df, text_col, id_col, k, hash_mode)
     dup_stats = (
         grams.groupBy("_gh")
         .agg(F.countDistinct(id_col).alias("_df"), F.min(id_col).alias("_canon"))

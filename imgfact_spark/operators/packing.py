@@ -9,9 +9,10 @@ operator re-expresses "shuffle → concatenate → split every ``seq_len``
 tokens" as a distributed plan whose output is BIT-IDENTICAL to the
 single-process result:
 
-  1. a deterministic total order over documents (caller-supplied — usually
-     the md5-seeded shuffle key, the repo's engine-portable randomness
-     primitive from operators/sampling.seeded_key);
+  1. a deterministic TOTAL order over documents (caller-supplied — usually
+     the md5-seeded shuffle key from operators/sampling.seeded_key WITH
+     the unique id appended as the final tie-break: 60-bit keys collide at
+     web scale, and only a total order makes offsets well-defined);
   2. the global token offset of every document = an exact distributed
      prefix sum: range-partition on the order key, per-partition running
      sums (windows bounded by one range partition — never a global
@@ -52,9 +53,16 @@ def with_token_offset(
     ranged = df.repartitionByRange(n, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy(*order)
-    # running sum INCLUDING the current row, minus the row itself below —
-    # avoids a rowsBetween boundary expression the optimizer can't prune
+    # ROWS frame, not the default RANGE frame: RANGE includes ORDER-BY
+    # peers, so tied keys would absorb each other's counts (overlapping /
+    # missing offsets).  ROWS makes ties non-overlapping; as with
+    # with_position, the order must still be TOTAL for the result to be
+    # deterministic — callers append a unique id as the last order key.
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     run = F.sum(F.col(n_tokens_col)).over(w)
 
     totals = ranged.groupBy("_pid").agg(

@@ -318,14 +318,19 @@ def dedup_stream(
         if isinstance(fingerprint_col, str)
         else fingerprint_col
     )
-    out = df.withColumn("_fp", c)
+    # collision-proof temp name: never clobber (and then drop) a caller
+    # column that happens to be called "_fp"
+    fp_name = "_fp"
+    while fp_name in df.columns:
+        fp_name += "_"
+    out = df.withColumn(fp_name, c)
     if df.isStreaming and ts_col is not None:
         out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["_fp"]
+            [fp_name]
         )
     else:
-        out = out.dropDuplicates(["_fp"])
-    return out.drop("_fp")
+        out = out.dropDuplicates([fp_name])
+    return out.drop(fp_name)
 
 
 def windowed_event_counts(

@@ -115,6 +115,22 @@ def test_token_offset_is_exact_prefix_sum(docs):
     assert got == want
 
 
+def test_token_offset_tied_keys_never_overlap(spark):
+    """Regression: the default RANGE window frame absorbed ORDER-BY peers,
+    so tied order keys produced overlapping/missing offsets (no row at 0).
+    With the ROWS frame ties tile the token space exactly, whatever their
+    within-tie order."""
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 100), (3, 30, 200)], "id long, n long, k long"
+    )
+    rows = with_token_offset(df, "n", [F.col("k")], offset_col="off").collect()
+    got = sorted((r.off, r.off + r.n) for r in rows)
+    assert got[0][0] == 0
+    for (a0, a1), (b0, _) in zip(got, got[1:]):
+        assert a1 == b0, f"offsets must tile gaplessly: {got}"
+    assert got[-1][1] == 60
+
+
 def test_pack_plan_has_no_global_window_or_cartesian(docs):
     df, _ = docs
     out = pack_sequences(

@@ -6,6 +6,8 @@ single-partition exchanges in the distributed operators."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
@@ -126,7 +128,9 @@ def test_checkpoint_scoring_ships_only_key_columns_through_arrow(spark):
     )
 
     gc = spark.range(10).selectExpr(
-        "cast(id as string) s", "'rel' p", "cast(id as string) o",
+        # every key column data-dependent: a literal ('rel') would be
+        # constant-folded into the UDF call and carry no attribute ref
+        "cast(id as string) s", "concat('rel', id % 2) p", "cast(id as string) o",
         "concat('img/', id) media_ref", "cast(id as string) doc_id",
         "repeat('x', 100) wide_payload_col",
     )
@@ -135,8 +139,10 @@ def test_checkpoint_scoring_ships_only_key_columns_through_arrow(spark):
     arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
     assert len(arrow_lines) == 1
     line = arrow_lines[0]
+    # match attribute references (col#id), not bare substrings — 's' alone
+    # occurs in unrelated tokens of any plan line
     for col in ("s", "p", "o", "media_ref"):
-        assert col in line
+        assert re.search(rf"\b{col}#\d+", line), (col, line)
     # the wide non-key column must not enter the Arrow exchange
     assert "wide_payload_col" not in line
 

@@ -350,6 +350,5 @@ def test_dedup_stream_within_watermark_plan(spark):
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     )  # schema: (timestamp, value)
     out = dedup_stream(src, F.col("value"), ts_col="timestamp", watermark="10 minutes")
-    plan = out._jdf.queryExecution().analyzed().toString()
-    assert "dropDuplicatesWithinWatermark" in plan.lower().replace("-", "") or \
-        "DeduplicateWithinWatermark".lower() in plan.lower()
+    plan = out._jdf.queryExecution().analyzed().toString().lower()
+    assert "deduplicatewithinwatermark" in plan, plan

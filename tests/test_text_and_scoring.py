@@ -120,11 +120,12 @@ def _rolling_twin(text: str) -> int:
     import hashlib
     import re as _re
 
-    t = text.strip()
+    # collapse-then-trim, exactly like the Spark column and DuckDB oracle
+    t = _re.sub(r"\s+", " ", text).strip()
     if not t:
         return 0
     h = 0
-    for tok in _re.sub(r"\s+", " ", t.lower()).split(" "):
+    for tok in t.lower().split(" "):
         th = int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
         h = (h * 131 + th) % 2147483647
     return h
@@ -134,12 +135,18 @@ def test_rolling_fingerprint_matches_twin_and_is_order_sensitive(spark):
     from imgfact_spark.functions.text import rolling_fingerprint
 
     texts = ["alpha beta gamma", "beta alpha gamma", "  Spaced   Out ",
-             "", "   ", "one", "42 7 42", "a b a b a"]
+             "", "   ", "one", "42 7 42", "a b a b a",
+             # tab/newline edges: Spark trim strips only spaces, so the
+             # collapse-then-trim order is load-bearing here
+             "\talpha beta", "alpha beta\n", "\t\n", " \t mixed\nws\t "]
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r["f"] for r in df.select(rolling_fingerprint("t").alias("f")).collect()]
     assert got == [_rolling_twin(t) for t in texts]
     # order-SENSITIVE (unlike a bag hash): swapped tokens change the value
     assert got[0] != got[1]
+    # edge whitespace must not change the value, whatever the char
+    assert got[8] == got[9] == _rolling_twin("alpha beta")
+    assert got[10] == 0  # whitespace-only (tab/newline) → blank → 0
 
 
 def test_rolling_fingerprint_prefix_composable():
