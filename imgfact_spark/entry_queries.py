@@ -1212,6 +1212,70 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_register(
+    "t_lm_fluency",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT u.w AS w1, CAST(COUNT(*) AS DOUBLE) AS cu
+      FROM toks, UNNEST(t) AS u(w) GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    pairs AS (
+      SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS cb FROM pairs GROUP BY 1, 2),
+    db AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t))) AS pos,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    lp AS (
+      SELECT db.doc_id, db.pos,
+             ln((COALESCE(big.cb, CAST(0 AS DOUBLE)) + CAST(0.1 AS DOUBLE))
+                / (COALESCE(uni.cu, CAST(0 AS DOUBLE)) + CAST(0.1 AS DOUBLE) * v.v))
+               AS lp
+      FROM db LEFT JOIN big ON db.w1 = big.w1 AND db.w2 = big.w2
+              LEFT JOIN uni ON db.w1 = uni.w1
+              CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(lp ORDER BY pos)),
+                         (h, x) -> h + x) AS s
+      FROM lp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN a.n_bigrams IS NULL THEN CAST(0.0 AS DOUBLE)
+                ELSE floor(a.s / CAST(a.n_bigrams AS DOUBLE)
+                           * CAST(1000000.0 AS DOUBLE))
+                     / CAST(1000000.0 AS DOUBLE)
+           END AS avg_logprob
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def t_lm_fluency(spark, sf_dir):
+    """Bigram-LM fluency scoring (operators/lm.bigram_lm_scores): every
+    document's average add-α-smoothed bigram log-probability under the
+    corpus's own bigram model — the CCNet-style perplexity gate web-scale
+    pipelines bucket/filter by.  Exact counts + IEEE arithmetic in a
+    pinned sequential fold order make the float output engine-exact
+    (truncated at 1e-6); the reference's quality gates are classifier
+    thresholds (ptuningfilter.py:33-47) with no corpus-LM stage."""
+    from imgfact_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "text", "doc_id", alpha=0.1)
+
+
+@_register(
     "d_dup_components",
     r"""
     WITH RECURSIVE sh AS (
@@ -3530,7 +3594,9 @@ _DRIVER_SAMPLE_FIRST = [
     # x_multiway_join_rollup rotates out for the strip action (r4 row
     # fresh through r6)
     "d_strip_dup_passages",
-    "r_select_results",
+    # r_select_results rotates out (r4 row fresh through r6, untouched)
+    # for the new bigram-LM fluency gate
+    "t_lm_fluency",
     # r5: d_cosine_neardup replaced its vacuous 0-row oracle with planted
     # near-copies — takes t_bm25_topk's slot (that r4 row stays fresh
     # through r6) so the changed query gets a current driver row

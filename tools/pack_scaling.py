@@ -1,0 +1,166 @@
+"""Paired same-window 1->4-core scaling for the sequence-packing operator
+(operators/packing.pack_sequences), MARGINAL estimator.
+
+Same methodology and corpora as tools/dup_scaling.py (that module's
+docstring carries the fixed-cost rationale): one warm JVM per level runs
+the 1M-doc corpus (timed) then the 4M-doc corpus (timed); the level cost
+is t(4M) - t(1M), cancelling all fixed JVM/plan/setup cost.  The timed
+job is the full packing pipeline a real run executes: tokenize + count in
+the scan, exact distributed prefix sum (range exchange + per-partition
+windows + broadcast offsets), fragment fan-out, and a global aggregate
+over the fragments.
+
+Usage:
+  PYTHONPATH=. python tools/pack_scaling.py --reps 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# packing is ~4x cheaper per doc than the dup-passage operator, so the
+# marginal window needs a larger doc delta to rise above same-window noise
+SMALL_COPIES = int(os.environ.get("PACK_SMALL_COPIES", "10"))
+BIG_COPIES = int(os.environ.get("PACK_BIG_COPIES", "90"))
+
+
+def _corpus_path(copies: int) -> str:
+    # shared with tools/dup_scaling.py (same replicated sf0.1 corpus)
+    return f"/tmp/dup_scaling_corpus_{copies}x.parquet"
+
+
+def worker(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from imgfact_spark.functions.text import token_count
+    from imgfact_spark.operators.packing import pack_sequences
+    from imgfact_spark.operators.sampling import seeded_key
+    from imgfact_spark.session import get_spark
+
+    spark = get_spark("pack-scaling", cpus=cpus)
+
+    def run(path: str) -> tuple[float, int]:
+        t0 = time.time()
+        toks = spark.read.parquet(path).select(
+            "doc_id", token_count("text").alias("n_tokens")
+        )
+        frags = pack_sequences(
+            toks, "doc_id", "n_tokens", seq_len=2048,
+            order_by=[seeded_key(13, "doc_id"), F.col("doc_id")],
+        )
+        row = frags.agg(
+            (F.max("seq_id") + 1).alias("n_seqs"),
+            F.sum("frag_tokens").alias("n_tokens"),
+        ).collect()[0]
+        return time.time() - t0, int(row["n_seqs"])
+
+    run(_corpus_path(SMALL_COPIES))  # untimed JVM/JIT/page-cache warm-up
+    t_small, _ = run(_corpus_path(SMALL_COPIES))
+    t_big, n_seqs = run(_corpus_path(BIG_COPIES))
+    print(
+        json.dumps(
+            {
+                "secs": round(t_big - t_small, 2),
+                "t_small": round(t_small, 2),
+                "t_big": round(t_big, 2),
+                "n_seqs_big": n_seqs,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--levels", default="1,4")
+    ap.add_argument("--worker", type=int, metavar="CPUS")
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.worker)
+        return
+
+    missing = [c for c in (SMALL_COPIES, BIG_COPIES) if not os.path.exists(_corpus_path(c))]
+    if missing:
+        from imgfact_spark.session import get_spark
+        from tools.dup_scaling import _build_corpus
+
+        spark = get_spark("pack-scaling-build", cpus=16)
+        for c in missing:
+            _build_corpus(spark, "/root/testdata/sf0.1", c)
+        spark.stop()
+
+    levels = [int(x) for x in args.levels.split(",")]
+    assert len(levels) == 2 and levels[1] == 4 * levels[0]
+
+    def run_level(n: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(n)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env={
+                **os.environ,
+                "PYTHONPATH": REPO,
+                "OMP_NUM_THREADS": "1",
+                "OPENBLAS_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1",
+            },
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    n, n4 = levels
+    pairs = []
+    best = {n: None, n4: None}
+    n_seqs = {}
+    for rep in range(args.reps):
+        if rep % 2 == 0:
+            r_n, r_4n = run_level(n), run_level(n4)
+        else:
+            r_4n, r_n = run_level(n4), run_level(n)
+        print(f"rep {rep}: local[{n}] {r_n} | local[{n4}] {r_4n}", file=sys.stderr)
+        pairs.append(
+            {
+                "t_n": r_n["secs"],
+                "t_4n": r_4n["secs"],
+                "efficiency": round(r_n["secs"] / (4 * r_4n["secs"]), 3),
+            }
+        )
+        for lvl, r in ((n, r_n), (n4, r_4n)):
+            best[lvl] = r["secs"] if best[lvl] is None else min(best[lvl], r["secs"])
+            n_seqs[lvl] = r["n_seqs_big"]
+    assert n_seqs[n] == n_seqs[n4], "output identity must hold across levels"
+    marg_docs = (BIG_COPIES - SMALL_COPIES) * 100_000
+    effs = sorted(p["efficiency"] for p in pairs)
+    m = len(effs) // 2
+    summary = {
+        "operator": "pack_sequences(seq_len=2048) incl. tokenize+count scan",
+        "estimator": f"marginal: t({BIG_COPIES * 100_000}) - t({SMALL_COPIES * 100_000}) docs, warm JVM",
+        "marginal_docs": marg_docs,
+        "reps_per_level": args.reps,
+        "levels": {str(lvl): {"marginal_secs": best[lvl]} for lvl in levels},
+        "docs_per_sec": {
+            str(lvl): round(marg_docs / best[lvl], 1) for lvl in levels
+        },
+        "n_seqs_big": n_seqs[n],
+        "same_window_pairs": pairs,
+        "median_pair_efficiency": round(
+            effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3
+        ),
+        "target": 0.8,
+    }
+    summary["pass"] = summary["median_pair_efficiency"] >= 0.8
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "SCALING_packing.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
