@@ -38,6 +38,9 @@ Queries:
   * packing        — sequence packing: whitespace token counts + exact
                      distributed prefix sum + fragment fan-out into
                      512-token training sequences over every document.
+  * lm_fluency     — bigram-LM perplexity gate: train corpus bigram/unigram
+                     counts, score every document's avg smoothed logprob
+                     (CCNet-style quality bucketing).
   * kg_construct_skew — the same pipeline over a hard-skew corpus
                      (skew_prob=0.75: the planted head entity is in ~90% of
                      docs) — the measured cost of the AQE-skew-split/salted
@@ -280,6 +283,16 @@ def main() -> None:
             ).collect()[0]["n"]
 
         bench_section("packing", packing_run)
+
+        def lm_run():
+            from imgfact_spark.operators.lm import bigram_lm_scores
+
+            scores = bigram_lm_scores(d, "text", "doc_id", alpha=0.1)
+            extras["lm_scored_docs"] = scores.filter(
+                F.col("n_bigrams") > 0
+            ).count()
+
+        bench_section("lm_fluency", lm_run)
 
         # ------------------------------------------- kg variants: skew + dims
         # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the
