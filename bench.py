@@ -288,9 +288,15 @@ def main() -> None:
             from imgfact_spark.operators.lm import bigram_lm_scores
 
             scores = bigram_lm_scores(d, "text", "doc_id", alpha=0.1)
-            extras["lm_scored_docs"] = scores.filter(
-                F.col("n_bigrams") > 0
-            ).count()
+            # consume avg_logprob, not just a count — Catalyst prunes
+            # unused columns, and a count-only sink would drop the whole
+            # logprob fold from the measured plan
+            row = scores.agg(
+                F.count(F.when(F.col("n_bigrams") > 0, 1)).alias("n"),
+                F.floor(F.sum("avg_logprob") * 1e4).alias("s"),
+            ).collect()[0]
+            extras["lm_scored_docs"] = row["n"]
+            extras["lm_logprob_sum_e4"] = int(row["s"])
 
         bench_section("lm_fluency", lm_run)
 

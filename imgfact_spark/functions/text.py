@@ -197,6 +197,17 @@ def repetition_ratio(col: Column | str, sep: str = "\x1f") -> Column:
     ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g)
 
 
+def normalized_tokens(col: Column | str) -> Column:
+    """THE corpus-wide tokenizer contract: collapse whitespace → trim →
+    lower → split on single spaces.  One definition shared by the dedup
+    gram/shingle builders, the rolling fingerprint and the LM scorer (and
+    mirrored by every DuckDB oracle) — the collapse-THEN-trim order is
+    load-bearing: Spark trim strips only ASCII spaces, so trimming first
+    would leave edge tabs/newlines as empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))), " ")
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """64-bit content fingerprint of normalized text (whitespace-collapsed,
     lowercased) — the exact-dedup key. xxhash64 is stable across runs."""
@@ -238,7 +249,7 @@ def rolling_fingerprint(col: Column | str, base: int = 131) -> Column:
     and diverge from the regex-normalized oracle."""
     raw = F.col(col) if isinstance(col, str) else col
     c = F.trim(F.regexp_replace(raw, r"\s+", " "))
-    toks = F.split(F.lower(c), " ")
+    toks = normalized_tokens(raw)
     hashed = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
     )

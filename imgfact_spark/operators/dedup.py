@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from imgfact_spark.functions.text import doc_fingerprint
+from imgfact_spark.functions.text import doc_fingerprint, normalized_tokens
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
 
@@ -59,7 +59,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingles(text_col: str, n: int) -> Column:
     """Word n-gram shingle array of the lowercased text (distinct)."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    toks = normalized_tokens(text_col)
     num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), num - 1)
     return F.array_distinct(
@@ -391,9 +391,7 @@ def _gram_positions(
     (id, _pos 1-based gram start, _gh 64-bit gram hash).  One definition so
     detection (duplicate_passage_stats) and removal
     (strip_duplicate_passages) can never tokenize differently."""
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
+    toks = normalized_tokens(text_col)
     base = ensure_parallelism(df).select(
         F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
     )

@@ -36,13 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from imgfact_spark.functions.text import normalized_tokens
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
-
-
-def _norm_tokens(col: Column) -> Column:
-    """Collapse-then-trim-then-lower whitespace tokens (the corpus-wide
-    tokenizer contract shared with dedup._gram_positions)."""
-    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
 
 
 def _bigrams(t: Column) -> Column:
@@ -70,14 +65,18 @@ def bigram_lm_scores(
     score (0, 0.0).  ``avg_logprob`` is floor-truncated at 1e-6."""
     toks = snapshot(
         ensure_parallelism(df).select(
-            F.col(id_col), _norm_tokens(F.col(text_col)).alias("_t")
+            F.col(id_col), normalized_tokens(text_col).alias("_t")
         )
     )
+    # a separate train corpus also feeds two aggregation subtrees (uni,
+    # big) — snapshot it too or the tokenizing scan runs twice
     toks_train = (
         toks
         if train_df is None
-        else ensure_parallelism(train_df).select(
-            _norm_tokens(F.col(text_col)).alias("_t")
+        else snapshot(
+            ensure_parallelism(train_df).select(
+                normalized_tokens(text_col).alias("_t")
+            )
         )
     )
 

@@ -128,8 +128,13 @@ def main() -> None:
                 "MKL_NUM_THREADS": "1",
             },
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr)
+            raise RuntimeError(
+                f"worker local[{n}] failed (exit {out.returncode}); stderr above"
+            )
+        return json.loads(lines[-1])
 
     n, n4 = levels
     pairs = []

@@ -3,8 +3,13 @@
 
 Same methodology and corpora as tools/dup_scaling.py (that module's
 docstring carries the fixed-cost rationale): one warm JVM per level runs
-the 1M-doc corpus (timed) then the 4M-doc corpus (timed); the level cost
-is t(4M) - t(1M), cancelling all fixed JVM/plan/setup cost.  The timed
+the small corpus (timed) then the big corpus (timed); the level cost is
+t(big) - t(small), cancelling all fixed JVM/plan/setup cost.  Defaults
+are 1M -> 9M docs (PACK_SMALL_COPIES/PACK_BIG_COPIES x 100k): packing is
+~4x cheaper per doc than the dup-passage gram join, so the 4M-doc delta
+used there gives ~12 s marginal windows with +/-40% pair noise — the 8M
+delta lifts the 1-core window to ~30 s and the dispersion collapses
+(measured; BENCH/BASELINE.md).  The timed
 job is the full packing pipeline a real run executes: tokenize + count in
 the scan, exact distributed prefix sum (range exchange + per-partition
 windows + broadcast offsets), fragment fan-out, and a global aggregate
@@ -80,6 +85,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", default="1,4")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--worker", type=int, metavar="CPUS")
     args = ap.parse_args()
     if args.worker:
@@ -93,7 +99,7 @@ def main() -> None:
 
         spark = get_spark("pack-scaling-build", cpus=16)
         for c in missing:
-            _build_corpus(spark, "/root/testdata/sf0.1", c)
+            _build_corpus(spark, args.sf_dir, c)
         spark.stop()
 
     levels = [int(x) for x in args.levels.split(",")]
@@ -113,13 +119,18 @@ def main() -> None:
                 "MKL_NUM_THREADS": "1",
             },
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr)
+            raise RuntimeError(
+                f"worker local[{n}] failed (exit {out.returncode}); stderr above"
+            )
+        return json.loads(lines[-1])
 
     n, n4 = levels
     pairs = []
     best = {n: None, n4: None}
-    n_seqs = {}
+    seq_counts = []  # one (level-n, level-4n) observation PER REP
     for rep in range(args.reps):
         if rep % 2 == 0:
             r_n, r_4n = run_level(n), run_level(n4)
@@ -135,8 +146,12 @@ def main() -> None:
         )
         for lvl, r in ((n, r_n), (n4, r_4n)):
             best[lvl] = r["secs"] if best[lvl] is None else min(best[lvl], r["secs"])
-            n_seqs[lvl] = r["n_seqs_big"]
-    assert n_seqs[n] == n_seqs[n4], "output identity must hold across levels"
+        seq_counts.append((r_n["n_seqs_big"], r_4n["n_seqs_big"]))
+    # identity must hold in EVERY rep at BOTH levels, not just the last one
+    assert len({c for pair in seq_counts for c in pair}) == 1, (
+        f"output identity violated across reps/levels: {seq_counts}"
+    )
+    n_seqs = {n: seq_counts[0][0], n4: seq_counts[0][1]}
     marg_docs = (BIG_COPIES - SMALL_COPIES) * 100_000
     effs = sorted(p["efficiency"] for p in pairs)
     m = len(effs) // 2
