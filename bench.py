@@ -291,12 +291,17 @@ def main() -> None:
             # consume avg_logprob, not just a count — Catalyst prunes
             # unused columns, and a count-only sink would drop the whole
             # logprob fold from the measured plan
+            # sum the per-doc 1e-6-truncated scores as exact integers — a
+            # parallel double sum is partition-order dependent and its
+            # floor can flip by 1 between identical runs
             row = scores.agg(
                 F.count(F.when(F.col("n_bigrams") > 0, 1)).alias("n"),
-                F.floor(F.sum("avg_logprob") * 1e4).alias("s"),
+                F.sum(
+                    F.round(F.col("avg_logprob") * 1e6).cast("bigint")
+                ).alias("s"),
             ).collect()[0]
             extras["lm_scored_docs"] = row["n"]
-            extras["lm_logprob_sum_e4"] = int(row["s"])
+            extras["lm_logprob_sum_e6"] = int(row["s"])
 
         bench_section("lm_fluency", lm_run)
 

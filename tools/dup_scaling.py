@@ -83,7 +83,9 @@ def worker(cpus: int) -> None:
                 "secs": round(t_big - t_small, 2),
                 "t_small": round(t_small, 2),
                 "t_big": round(t_big, 2),
-                "dup_docs": n_big - n_small,
+                # ABSOLUTE counts for the identity check (a delta would let
+                # offsetting small/big differences cancel)
+                "dup_docs": [n_small, n_big],
             }
         )
     )
@@ -139,7 +141,7 @@ def main() -> None:
     n, n4 = levels
     pairs = []
     best = {n: None, n4: None}
-    dup_docs = {}
+    dup_counts = []  # one (level-n, level-4n) observation PER REP
     for rep in range(args.reps):
         if rep % 2 == 0:
             r_n, r_4n = run_level(n), run_level(n4)
@@ -155,8 +157,12 @@ def main() -> None:
         )
         for lvl, r in ((n, r_n), (n4, r_4n)):
             best[lvl] = r["secs"] if best[lvl] is None else min(best[lvl], r["secs"])
-            dup_docs[lvl] = r["dup_docs"]
-    assert dup_docs[n] == dup_docs[n4], "output identity must hold across levels"
+        dup_counts.append((tuple(r_n["dup_docs"]), tuple(r_4n["dup_docs"])))
+    # identity of the (small, big) ABSOLUTE counts must hold in EVERY rep
+    # at BOTH levels, not just the last one
+    assert len(set(dup_counts)) == 1 and dup_counts[0][0] == dup_counts[0][1], (
+        f"output identity violated across reps/levels: {dup_counts}"
+    )
     marg_docs = (BIG_COPIES - SMALL_COPIES) * 100_000
     effs = sorted(p["efficiency"] for p in pairs)
     m = len(effs) // 2

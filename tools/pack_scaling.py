@@ -151,7 +151,7 @@ def main() -> None:
     assert len({c for pair in seq_counts for c in pair}) == 1, (
         f"output identity violated across reps/levels: {seq_counts}"
     )
-    n_seqs = {n: seq_counts[0][0], n4: seq_counts[0][1]}
+    n_seqs_big = seq_counts[0][0]
     marg_docs = (BIG_COPIES - SMALL_COPIES) * 100_000
     effs = sorted(p["efficiency"] for p in pairs)
     m = len(effs) // 2
@@ -164,7 +164,7 @@ def main() -> None:
         "docs_per_sec": {
             str(lvl): round(marg_docs / best[lvl], 1) for lvl in levels
         },
-        "n_seqs_big": n_seqs[n],
+        "n_seqs_big": n_seqs_big,
         "same_window_pairs": pairs,
         "median_pair_efficiency": round(
             effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3
