@@ -1212,6 +1212,93 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @_register(
+    "x_asof_join",
+    r"""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+      SELECT user_id, ts AS v_ts, event_id AS v_id, value AS v_value
+      FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT c.event_id, c.user_id, c.ts, v.v_ts, v.v_id, v.v_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
+      FROM c JOIN v ON c.user_id = v.user_id AND v.v_ts <= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           v_ts AS asof_v_ts, v_id AS asof_v_id, v_value AS asof_v_value
+    FROM cand WHERE rn = 1
+    UNION ALL
+    SELECT c.event_id, c.user_id, c.ts, NULL, NULL, NULL
+    FROM c WHERE NOT EXISTS (
+      SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.v_ts <= c.ts
+    )
+    """,
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): every click matched to
+    the user's latest view at-or-before it — the union-and-carry-forward
+    window plan (ONE shuffle on the key, no inequality join), vs the
+    oracle's quadratic candidate-rank formulation.  Unmatched clicks keep
+    NULLs (left semantics); ties among same-timestamp views resolve to the
+    greatest view id on both engines."""
+    from imgfact_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_value"),
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], probe_ts="ts", ref_ts="v_ts",
+        ref_payload=["v_id", "v_value"], tiebreak="v_id",
+    )
+
+
+@_register(
+    "x_range_join",
+    r"""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    v AS (
+      SELECT user_id, event_id AS v_id, ts AS start_ts,
+             ts + INTERVAL 4 HOUR AS end_ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.v_id, v.start_ts, v.end_ts
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.ts >= v.start_ts AND c.ts <= v.end_ts
+    """,
+)
+def x_range_join(spark, sf_dir):
+    """Binned range join (operators/temporal.range_join): clicks inside
+    each view's 4-hour attribution window, per user — the equi-join on
+    (key, time bin) with interval explode (bin = interval span, explode
+    factor ≤ 2), vs the oracle's plain inequality join.  No
+    CartesianProduct / broadcast-nested-loop in the plan."""
+    from imgfact_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    intervals = ev.filter("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    return range_join(
+        clicks, intervals, on=["user_id"], point_ts="ts",
+        start_ts="start_ts", end_ts="end_ts", bin_width_seconds=14400,
+    )
+
+
+@_register(
     "t_lm_fluency",
     r"""
     WITH toks AS (
@@ -3589,8 +3676,10 @@ _DRIVER_SAMPLE_FIRST = [
     "d_dup_passages",
     "x_cooccurrence_lift",
     "ref_fixture_triple_pr",
-    "ep_masked_inputs",
-    "ep_split_sets_sizes",
+    # ep_masked_inputs / ep_split_sets_sizes rotate out (r4 rows fresh
+    # through r6, untouched) for the two new temporal joins
+    "x_asof_join",
+    "x_range_join",
     # x_multiway_join_rollup rotates out for the strip action (r4 row
     # fresh through r6)
     "d_strip_dup_passages",

@@ -1,0 +1,132 @@
+"""As-of and binned range joins vs independent python twins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from imgfact_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _probe_rows():
+    # (event_id, key, ts)
+    return [
+        (1, "a", _ts(10)),
+        (2, "a", _ts(20)),
+        (3, "a", _ts(5)),    # before any ref → NULL match
+        (4, "b", _ts(30)),
+        (5, "b", _ts(7)),
+        (6, "c", _ts(30)),   # key with no refs at all
+    ]
+
+
+def _ref_rows():
+    # (key, ts, rid, val) — includes a same-timestamp tie on (a, 10:00)
+    return [
+        ("a", _ts(10), 100, 1.0),   # exactly at probe 1's ts (inclusive)
+        ("a", _ts(10), 101, 2.0),   # tie: greater rid must win
+        ("a", _ts(15), 102, 3.0),
+        ("b", _ts(6), 200, 4.0),
+        ("b", _ts(29, 59), 201, 5.0),
+    ]
+
+
+def _twin_asof(probes, refs, tolerance=None):
+    out = {}
+    for pid, k, pts in probes:
+        cands = [r for r in refs if r[0] == k and r[1] <= pts]
+        if tolerance is not None:
+            cands = [r for r in cands if r[1] >= pts - tolerance]
+        if not cands:
+            out[pid] = (None, None, None)
+        else:
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            out[pid] = (best[1], best[2], best[3])
+    return out
+
+
+def _frames(spark):
+    p = spark.createDataFrame(
+        _probe_rows(), "event_id long, key string, ts timestamp"
+    )
+    r = spark.createDataFrame(
+        _ref_rows(), "key string, r_ts timestamp, rid long, val double"
+    )
+    return p, r
+
+
+def _collect_asof(df):
+    return {
+        r.event_id: (r.asof_r_ts, r.asof_rid, r.asof_val) for r in df.collect()
+    }
+
+
+def test_asof_matches_twin_with_ties_and_nulls(spark):
+    p, r = _frames(spark)
+    got = _collect_asof(
+        asof_join(p, r, ["key"], "ts", "r_ts", ["rid", "val"], tiebreak="rid")
+    )
+    assert got == _twin_asof(_probe_rows(), _ref_rows())
+    # spot-check the semantics the fixture plants:
+    assert got[1] == (_ts(10), 101, 2.0)   # inclusive + tie → greatest rid
+    assert got[3] == (None, None, None)    # no ref at-or-before
+    assert got[6] == (None, None, None)    # key with no refs
+
+
+def test_asof_tolerance(spark):
+    p, r = _frames(spark)
+    tol = 60  # seconds: probe 4 (30:00) only matches ref 201 (29:59)
+    got = _collect_asof(
+        asof_join(p, r, ["key"], "ts", "r_ts", ["rid", "val"],
+                  tiebreak="rid", tolerance_seconds=tol)
+    )
+    assert got == _twin_asof(
+        _probe_rows(), _ref_rows(), tolerance=dt.timedelta(seconds=tol)
+    )
+    assert got[4] == (_ts(29, 59), 201, 5.0)
+    assert got[2] == (None, None, None)  # a@20:00, latest ref 15:00 → stale
+
+
+def test_asof_partitioning_invariance_and_plan(spark):
+    p, r = _frames(spark)
+    out = asof_join(
+        p.repartition(5), r.repartition(3), ["key"], "ts", "r_ts",
+        ["rid", "val"], tiebreak="rid",
+    )
+    assert _collect_asof(out) == _twin_asof(_probe_rows(), _ref_rows())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-and-carry-forward: a window, never a join of any kind
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_matches_twin_and_plan(spark):
+    p, r = _frames(spark)
+    iv = r.select(
+        "key", F.col("r_ts").alias("s_ts"),
+        (F.col("r_ts") + F.expr("INTERVAL 7 MINUTES")).alias("e_ts"), "rid",
+    )
+    for width in (60, 300, 3600):  # result must not depend on the bin width
+        got = {
+            (row.event_id, row.rid)
+            for row in range_join(
+                p, iv, ["key"], "ts", "s_ts", "e_ts", bin_width_seconds=width
+            ).collect()
+        }
+        want = {
+            (pid, rid)
+            for pid, k, pts in _probe_rows()
+            for rk, rts, rid, _ in _ref_rows()
+            if rk == k and rts <= pts <= rts + dt.timedelta(minutes=7)
+        }
+        assert got == want, width
+    out = range_join(p, iv, ["key"], "ts", "s_ts", "e_ts", bin_width_seconds=300)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
