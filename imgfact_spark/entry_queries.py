@@ -1227,11 +1227,13 @@ def d_ngram_jaccard_pairs(spark, sf_dir):
                                 ORDER BY v.v_ts DESC, v.v_id DESC) AS rn
       FROM c JOIN v ON c.user_id = v.user_id AND v.v_ts <= c.ts
     )
-    SELECT event_id, user_id, ts,
-           v_ts AS asof_v_ts, v_id AS asof_v_id, v_value AS asof_v_value
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(v_ts) AS BIGINT) AS asof_v_ts_us,
+           v_id AS asof_v_id, v_value AS asof_v_value
     FROM cand WHERE rn = 1
     UNION ALL
-    SELECT c.event_id, c.user_id, c.ts, NULL, NULL, NULL
+    SELECT c.event_id, c.user_id, CAST(epoch_us(c.ts) AS BIGINT),
+           NULL, NULL, NULL
     FROM c WHERE NOT EXISTS (
       SELECT 1 FROM v WHERE v.user_id = c.user_id AND v.v_ts <= c.ts
     )
@@ -1254,9 +1256,16 @@ def x_asof_join(spark, sf_dir):
         F.col("event_id").alias("v_id"),
         F.col("value").alias("v_value"),
     )
-    return asof_join(
+    out = asof_join(
         clicks, views, on=["user_id"], probe_ts="ts", ref_ts="v_ts",
         ref_payload=["v_id", "v_value"], tiebreak="v_id",
+    )
+    # timestamps leave as epoch micros (the module's timestamp-free
+    # driver-compare contract; session tz is UTC so NTZ→LTZ is identity)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp")).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_id", "user_id", us("ts").alias("ts_us"),
+        us("asof_v_ts").alias("asof_v_ts_us"), "asof_v_id", "asof_v_value",
     )
 
 
@@ -1271,7 +1280,9 @@ def x_asof_join(spark, sf_dir):
              ts + INTERVAL 4 HOUR AS end_ts
       FROM events WHERE event_type = 'view'
     )
-    SELECT c.event_id, c.user_id, c.ts, v.v_id, v.start_ts, v.end_ts
+    SELECT c.event_id, c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           v.v_id, CAST(epoch_us(v.start_ts) AS BIGINT) AS start_us,
+           CAST(epoch_us(v.end_ts) AS BIGINT) AS end_us
     FROM c JOIN v ON c.user_id = v.user_id
                  AND c.ts >= v.start_ts AND c.ts <= v.end_ts
     """,
@@ -1292,9 +1303,14 @@ def x_range_join(spark, sf_dir):
         F.col("ts").alias("start_ts"),
         (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
     )
-    return range_join(
+    out = range_join(
         clicks, intervals, on=["user_id"], point_ts="ts",
         start_ts="start_ts", end_ts="end_ts", bin_width_seconds=14400,
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp")).cast("bigint")  # noqa: E731
+    return out.select(
+        "event_id", "user_id", us("ts").alias("ts_us"), "v_id",
+        us("start_ts").alias("start_us"), us("end_ts").alias("end_us"),
     )
 
 

@@ -30,6 +30,13 @@ broadcast-nested-loop, which an inequality join would plan).
 
 Both are pure-JVM column plans; timestamps are compared in exact
 microseconds.
+
+Reference parity note: the reference pipeline is timestamp-free — its
+only ordering is positional file alignment (eval_and_app/
+prepare_data.py:43-59 ``zip(triples, img_path)``, re-expressed in
+operators/zip_join.py) and its incrementality is skip-finished-chunks
+resume (SURVEY.md §2.10) — so these are engine extensions with no
+reference twin, certified by quadratic-oracle driver queries instead.
 """
 
 from __future__ import annotations
@@ -53,7 +60,16 @@ def asof_join(
     ``ref_ts <= probe_ts`` on the same ``on`` key — NULLs when no such row
     exists (or when it is older than ``tolerance_seconds``).  ``tiebreak``
     orders ties among reference rows at one timestamp (greatest wins);
-    required for a deterministic result when such ties are possible."""
+    required for a deterministic result when such ties are possible.
+
+    NULL timestamps: reference rows with NULL ``ref_ts`` are excluded (a
+    NULL would sort NULLS-FIRST and be carried into every match); probes
+    with NULL ``probe_ts`` come back unmatched."""
+    reserved = {"_ts", "_side", "_ref", "_m"}
+    clash = reserved & (set(probe.columns) | set(ref.columns))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
+    ref = ref.filter(F.col(ref_ts).isNotNull())
     payload_cols = [F.col(c) for c in [ref_ts, *ref_payload]]
     if tiebreak is not None and tiebreak not in (ref_ts, *ref_payload):
         payload_cols.append(F.col(tiebreak))
@@ -100,10 +116,25 @@ def range_join(
     start_ts: str,
     end_ts: str,
     bin_width_seconds: int = 300,
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Inner point-in-interval join (``start_ts <= point_ts <= end_ts``,
     inclusive, per ``on`` key) as an equi-join on (key, time bin).  Output
-    columns: all of ``points`` then all non-key ``intervals`` columns."""
+    columns: all of ``points`` then all non-key ``intervals`` columns.
+
+    Guards: empty intervals (end < start) match nothing; an interval
+    spanning more than ``max_bins_per_interval`` bins FAILS the job with a
+    clear message instead of materializing a multi-GB sequence array from
+    one corrupt sentinel timestamp — widen ``bin_width_seconds`` or clean
+    the intervals."""
+    if set(points.columns) & set(intervals.columns) - set(on):
+        raise ValueError(
+            "range_join: points/intervals non-key column names must be "
+            f"disjoint, both have "
+            f"{sorted(set(points.columns) & set(intervals.columns) - set(on))}"
+        )
+    if "_bin" in points.columns or "_bin" in intervals.columns:
+        raise ValueError("range_join reserves the column name '_bin'")
     width_us = int(bin_width_seconds) * 1_000_000
 
     def _bin_of(c: str) -> Column:
@@ -114,10 +145,30 @@ def range_join(
             F.unix_micros(F.col(c).cast("timestamp")) / width_us
         ).cast("long")
 
-    p = points.withColumn("_bin", _bin_of(point_ts))
-    i = intervals.withColumn(
-        "_bin", F.explode(F.sequence(_bin_of(start_ts), _bin_of(end_ts)))
+    sb, eb = _bin_of(start_ts), _bin_of(end_ts)
+    n_bins = eb - sb + 1
+    bins = (
+        F.when(n_bins < 1, F.array().cast("array<long>"))
+        .when(n_bins <= max_bins_per_interval, F.sequence(sb, eb))
+        .otherwise(
+            F.array(
+                F.assert_true(
+                    F.lit(False),
+                    F.concat(
+                        F.lit("range_join: interval spans "),
+                        n_bins.cast("string"),
+                        F.lit(
+                            f" bins > max_bins_per_interval="
+                            f"{max_bins_per_interval}; widen "
+                            "bin_width_seconds or clean the intervals"
+                        ),
+                    ),
+                ).cast("long")
+            )
+        )
     )
+    p = points.withColumn("_bin", _bin_of(point_ts))
+    i = intervals.withColumn("_bin", F.explode(bins))
     joined = p.join(i, [*on, "_bin"]).filter(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )

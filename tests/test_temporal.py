@@ -105,6 +105,57 @@ def test_asof_partitioning_invariance_and_plan(spark):
     assert "Window" in plan
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """A NULL-ts reference sorts NULLS-FIRST and would be carried into
+    every match without the filter; a NULL-ts probe must come back
+    unmatched (both per the oracle contract v_ts <= ts, NULL-excluding)."""
+    p = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", None)],
+        "event_id long, key string, ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [("a", None, 99, 9.9), ("a", _ts(5), 100, 1.0)],
+        "key string, r_ts timestamp, rid long, val double",
+    )
+    got = _collect_asof(
+        asof_join(p, r, ["key"], "ts", "r_ts", ["rid", "val"], tiebreak="rid")
+    )
+    assert got[1] == (_ts(5), 100, 1.0)  # the NULL-ts ref never wins
+    assert got[2] == (None, None, None)  # NULL-ts probe is unmatched
+
+
+def test_asof_reserved_column_clash_raises(spark):
+    p = spark.createDataFrame([(1, "a", _ts(1), 0)],
+                              "event_id long, key string, ts timestamp, _m int")
+    r = spark.createDataFrame([("a", _ts(0), 1, 1.0)],
+                              "key string, r_ts timestamp, rid long, val double")
+    import pytest
+
+    with pytest.raises(ValueError, match="_m"):
+        asof_join(p, r, ["key"], "ts", "r_ts", ["rid"])
+
+
+def test_range_join_interval_guards(spark):
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    p = spark.createDataFrame([(1, "a", _ts(10))],
+                              "event_id long, key string, ts timestamp")
+    # empty interval (end < start) matches nothing, silently
+    empty = spark.createDataFrame(
+        [("a", _ts(20), _ts(10), 1)],
+        "key string, s_ts timestamp, e_ts timestamp, rid long",
+    )
+    assert range_join(p, empty, ["key"], "ts", "s_ts", "e_ts", 60).count() == 0
+    # an interval spanning > max_bins_per_interval bins fails loudly
+    wide = spark.createDataFrame(
+        [("a", _ts(0), dt.datetime(2031, 1, 1), 1)],
+        "key string, s_ts timestamp, e_ts timestamp, rid long",
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        range_join(p, wide, ["key"], "ts", "s_ts", "e_ts", 60).count()
+
+
 def test_range_join_matches_twin_and_plan(spark):
     p, r = _frames(spark)
     iv = r.select(
