@@ -27,8 +27,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
-import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -83,9 +81,9 @@ def worker(cpus: int) -> None:
                 "secs": round(t_big - t_small, 2),
                 "t_small": round(t_small, 2),
                 "t_big": round(t_big, 2),
-                # ABSOLUTE counts for the identity check (a delta would let
-                # offsetting small/big differences cancel)
-                "dup_docs": [n_small, n_big],
+                # ABSOLUTE counts for the identity check (a delta would
+                # let offsetting small/big differences cancel)
+                "identity": [n_small, n_big],
             }
         )
     )
@@ -103,88 +101,27 @@ def main() -> None:
         worker(args.worker)
         return
 
-    levels = [int(x) for x in args.levels.split(",")]
-    assert len(levels) == 2 and levels[1] == 4 * levels[0]
-    if not all(
-        os.path.exists(_corpus_path(c)) for c in (SMALL_COPIES, BIG_COPIES)
-    ):
+    missing = [
+        c for c in (SMALL_COPIES, BIG_COPIES) if not os.path.exists(_corpus_path(c))
+    ]
+    if missing:
         from imgfact_spark.session import get_spark
 
         spark = get_spark("dup-scaling-build", cpus=16)
-        for c in (SMALL_COPIES, BIG_COPIES):
-            if not os.path.exists(_corpus_path(c)):
-                _build_corpus(spark, args.sf_dir, c)
+        for c in missing:
+            _build_corpus(spark, args.sf_dir, c)
         spark.stop()
 
-    def run_level(n: int) -> dict:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(n)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            env={
-                **os.environ,
-                "PYTHONPATH": REPO,
-                "OMP_NUM_THREADS": "1",
-                "OPENBLAS_NUM_THREADS": "1",
-                "MKL_NUM_THREADS": "1",
-            },
-        )
-        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-        if out.returncode != 0 or not lines:
-            sys.stderr.write(out.stderr)
-            raise RuntimeError(
-                f"worker local[{n}] failed (exit {out.returncode}); stderr above"
-            )
-        return json.loads(lines[-1])
+    from tools.marginal_harness import paired_marginal
 
-    n, n4 = levels
-    pairs = []
-    best = {n: None, n4: None}
-    dup_counts = []  # one (level-n, level-4n) observation PER REP
-    for rep in range(args.reps):
-        if rep % 2 == 0:
-            r_n, r_4n = run_level(n), run_level(n4)
-        else:
-            r_4n, r_n = run_level(n4), run_level(n)
-        print(f"rep {rep}: local[{n}] {r_n} | local[{n4}] {r_4n}", file=sys.stderr)
-        pairs.append(
-            {
-                "t_n": r_n["secs"],
-                "t_4n": r_4n["secs"],
-                "efficiency": round(r_n["secs"] / (4 * r_4n["secs"]), 3),
-            }
-        )
-        for lvl, r in ((n, r_n), (n4, r_4n)):
-            best[lvl] = r["secs"] if best[lvl] is None else min(best[lvl], r["secs"])
-        dup_counts.append((tuple(r_n["dup_docs"]), tuple(r_4n["dup_docs"])))
-    # identity of the (small, big) ABSOLUTE counts must hold in EVERY rep
-    # at BOTH levels, not just the last one
-    assert len(set(dup_counts)) == 1 and dup_counts[0][0] == dup_counts[0][1], (
-        f"output identity violated across reps/levels: {dup_counts}"
+    paired_marginal(
+        tool_file=__file__,
+        levels=[int(x) for x in args.levels.split(",")],
+        reps=args.reps,
+        operator="duplicate_passage_stats(k=5, min_df=2)",
+        marginal_docs=(BIG_COPIES - SMALL_COPIES) * 100_000,
+        out_json="SCALING_dup_passages.json",
     )
-    marg_docs = (BIG_COPIES - SMALL_COPIES) * 100_000
-    effs = sorted(p["efficiency"] for p in pairs)
-    m = len(effs) // 2
-    summary = {
-        "operator": "duplicate_passage_stats(k=5, min_df=2)",
-        "estimator": f"marginal: t({BIG_COPIES * 100_000}) - t({SMALL_COPIES * 100_000}) docs, warm JVM",
-        "marginal_docs": marg_docs,
-        "reps_per_level": args.reps,
-        "levels": {str(lvl): {"marginal_secs": best[lvl]} for lvl in levels},
-        "docs_per_sec": {
-            str(lvl): round(marg_docs / best[lvl], 1) for lvl in levels
-        },
-        "same_window_pairs": pairs,
-        "median_pair_efficiency": round(
-            effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3
-        ),
-        "target": 0.8,
-    }
-    summary["pass"] = summary["median_pair_efficiency"] >= 0.8
-    print(json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH", "SCALING_dup_passages.json"), "w") as f:
-        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
