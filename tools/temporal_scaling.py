@@ -67,7 +67,15 @@ def worker(cpus: int) -> None:
     from imgfact_spark.operators.temporal import asof_join
     from imgfact_spark.session import get_spark
 
-    spark = get_spark("asof-scaling", cpus=cpus)
+    # FIXED partition count at both levels (3x the larger level): the
+    # default cpus-scaled granularity gives local[1] a few huge sort
+    # partitions that spill while local[4] sorts many small ones in
+    # memory — super-linear pairs (measured 1.05-1.37) that say "smaller
+    # sorts are cheaper", not "the operator parallelizes".  Identical
+    # physical work at both levels isolates parallel efficiency.
+    # 36 = 3x the larger level x 3 waves: fine enough that one slow task
+    # costs 1/36 of the work, not 1/12
+    spark = get_spark("asof-scaling", cpus=cpus, shuffle_partitions=36)
 
     def run(path: str) -> tuple[float, list]:
         t0 = time.time()
