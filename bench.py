@@ -305,6 +305,43 @@ def main() -> None:
 
         bench_section("lm_fluency", lm_run)
 
+        def gopher_run():
+            from imgfact_spark.functions.text import gopher_rules
+
+            # consume keep AND n_words so Catalyst can't prune any rule
+            row = d.select(gopher_rules("text").alias("g")).agg(
+                F.count(F.when(F.col("g.keep"), 1)).alias("n_keep"),
+                F.sum("g.n_words").alias("w"),
+            ).collect()[0]
+            extras["gopher_keep_docs"] = row["n_keep"]
+
+        bench_section("gopher_rules", gopher_run)
+
+        def tfidf_run():
+            from imgfact_spark.operators.retrieval import tfidf_keywords
+
+            row = tfidf_keywords(d, k=10).agg(
+                F.count("*").alias("n"),
+                # consume score (already 1e-6-truncated → exact integers)
+                F.sum(F.round(F.col("score") * 1e6).cast("bigint")).alias("s"),
+            ).collect()[0]
+            extras["tfidf_rows"] = row["n"]
+
+        bench_section("tfidf_keywords", tfidf_run)
+
+        def rollup_run():
+            from imgfact_spark.operators.rollup import time_rollup
+
+            ev_b = spark.read.parquet(f"{sf_dir}/events.parquet")
+            row = time_rollup(
+                ev_b, "ts", ["event_type"], "value", ("day", "hour")
+            ).agg(
+                F.count("*").alias("n"), F.bit_xor("sum_cents").alias("sig")
+            ).collect()[0]
+            extras["rollup_cells"] = row["n"]
+
+        bench_section("time_rollup", rollup_run)
+
         # ------------------------------------------- kg variants: skew + dims
         # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the
         # planted head entity appears in ~90% of docs; the grounding joins

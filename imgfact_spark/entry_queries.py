@@ -1148,6 +1148,112 @@ def t_quality_score(spark, sf_dir):
 
 
 @_register(
+    "t_gopher_rules",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             length(trim(text)) = 0 AS blank,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+             string_split(text, chr(10)) AS lines,
+             len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+      FROM documents
+    ), r AS (
+      SELECT doc_id, blank, lines, toks, n_sym,
+             CASE WHEN blank THEN 0 ELSE len(toks) END AS n_words,
+             list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+             len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ell,
+             CASE WHEN blank THEN 0
+                  ELSE len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) END AS n_alpha,
+             len(list_intersect(toks, string_split('the,be,to,of,and,that,have,with', ','))) AS stop_hits
+      FROM m
+    ), b AS (
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             n_words >= 50 AND n_words <= 100000 AS r_word_count,
+             CASE WHEN n_words > 0
+                  THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+                   AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+                  ELSE FALSE END AS r_mean_word_len,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+                  ELSE FALSE END AS r_symbol_ratio,
+             CAST(n_bullet AS DOUBLE) / CAST(len(lines) AS DOUBLE) <= 0.9 AS r_bullet_lines,
+             CAST(n_ell AS DOUBLE) / CAST(len(lines) AS DOUBLE) <= 0.3 AS r_ellipsis_lines,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+                  ELSE FALSE END AS r_alpha_words,
+             stop_hits >= 2 AS r_stopwords
+      FROM r
+    )
+    SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_bullet_lines, r_ellipsis_lines, r_alpha_words, r_stopwords,
+           (r_word_count::INT + r_mean_word_len::INT + r_symbol_ratio::INT
+            + r_bullet_lines::INT + r_ellipsis_lines::INT
+            + r_alpha_words::INT + r_stopwords::INT) AS n_rules,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+            AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS keep
+    FROM b
+    """,
+)
+def t_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1): seven
+    boolean rules + passed-count + conjunction per document, map-only
+    (fuses into the scan).  The driver's synthetic corpus fails the
+    stopword gate corpus-wide (no English function words), so ``keep`` is
+    all-false there by construction — the per-rule booleans and
+    ``n_rules`` carry the variety the hash compare certifies; keep=true
+    paths are pinned by the python-twin test.  Engine extension — the
+    reference's corpus arrives pre-curated (its gates are model
+    thresholds, ptuningfilter.py:33-47)."""
+    from imgfact_spark.functions.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", gopher_rules("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+@_register(
+    "t_tfidf_keywords",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ), t AS (
+      SELECT doc_id, UNNEST(list_filter(toks, x -> length(x) >= 2)) AS term
+      FROM base
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+    ), sc AS (
+      SELECT doc_id, term, tf,
+             COUNT(*) OVER (PARTITION BY term) AS dfreq,
+             (SELECT COUNT(*) FROM base) AS n_docs
+      FROM tf
+    ), s2 AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+             CAST(dfreq AS BIGINT) AS dfreq,
+             FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / dfreq) * 1e6) / 1e6 AS score
+      FROM sc
+    )
+    SELECT doc_id, term, tf, dfreq, score, rank FROM (
+      SELECT doc_id, term, tf, dfreq, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM s2
+    ) WHERE rank <= 5
+    """,
+)
+def t_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (tf·ln(N/df), window-computed
+    df — no vocab-sized join) via operators/retrieval.tfidf_keywords."""
+    from imgfact_spark.operators.retrieval import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_keywords(d, k=5)
+
+
+@_register(
     "t_exact_dedup_groups",
     r"""
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -1312,6 +1418,39 @@ def x_range_join(spark, sf_dir):
         "event_id", "user_id", us("ts").alias("ts_us"), "v_id",
         us("start_ts").alias("start_us"), us("end_ts").alias("end_us"),
     )
+
+
+@_register(
+    "x_time_rollup",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, day_us, hour_us,
+           CASE WHEN GROUPING(hour_us) = 0 THEN 'hour'
+                WHEN GROUPING(day_us) = 0 THEN 'day'
+                ELSE 'all' END AS gran,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM e
+    GROUP BY event_type, ROLLUP(day_us, hour_us)
+    """,
+)
+def x_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup
+    (operators/rollup.time_rollup): hour + day + all-time aggregates per
+    event type in ONE Expand + hash-aggregate pass (partial agg collapses
+    map-side; shuffle ∝ group cells), vs the oracle's GROUP BY ROLLUP.
+    Integer-cent sums; buckets leave as epoch micros (timestamp-free
+    driver-compare contract)."""
+    from imgfact_spark.operators.rollup import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return time_rollup(ev, "ts", ["event_type"], "value", ("day", "hour"))
 
 
 @_register(
@@ -1787,6 +1926,100 @@ def d_cosine_neardup(spark, sf_dir):
 
 
 ORACLES["d_cosine_neardup"] = _neardup_oracle_sql()
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Oracle for d_semantic_dedup: train the spherical-k-means centroids
+    with the exact numpy replica of ``ivf_train_centroids
+    (deterministic=True)`` over the SAME union corpus the query builds
+    (base < 300 ∪ 30 planted affine near-copies), embed them as double
+    literals, then replicate cell assignment (list_sort struct ranking),
+    the within-cell pair search and the min-id drop rule in SQL."""
+    import numpy as np
+    import pandas as _pd
+
+    from imgfact_spark.operators.similarity import ivf_train_centroids_numpy
+
+    pdf = _pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base_m = pdf["vec_id"] < 300
+    pl_m = pdf["vec_id"] < 30
+    base = np.vstack(pdf.loc[base_m, "embedding"].to_numpy()).astype("float64")
+    planted = (
+        np.vstack(pdf.loc[pl_m, "embedding"].to_numpy()).astype("float64")
+        * 1.25
+        + 0.01
+    )
+    ids = np.concatenate(
+        [pdf.loc[base_m, "vec_id"].to_numpy(), pdf.loc[pl_m, "vec_id"].to_numpy() + 10000]
+    )
+    cents = ivf_train_centroids_numpy(
+        ids, np.vstack([base, planted]), n_cells=8, n_iters=3, seed=42
+    )
+    structs = ", ".join(
+        "{'d': -list_dot_product(v, ["
+        + ",".join(repr(float(x)) for x in cent)
+        + f"]), 'i': {i}}}"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.25 + 0.01) AS v
+      FROM embeddings WHERE vec_id < 30
+    ),
+    r AS (
+      SELECT vec_id, v,
+             CAST(list_transform(list_sort([{structs}]), x -> x.i)[1] AS BIGINT) AS cell
+      FROM base
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM r a JOIN r b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    d AS (
+      SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+      FROM p WHERE cosine >= 0.4 GROUP BY id_b
+    )
+    SELECT r.vec_id, r.cell, d.dup_of IS NULL AS keep, d.dup_of
+    FROM r LEFT JOIN d USING (vec_id)
+    """
+
+
+@_register("d_semantic_dedup")
+def d_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): spherical-k-means
+    cells bound the pair search; a row drops iff a τ-similar smaller-id
+    neighbor shares its cell.  ``deterministic=True, method='column'`` so
+    the trained centroids, cell assignments, cosines and drops are all
+    bitwise-replicable in the DuckDB oracle (centroid literals, like
+    s_ivf_topk).  The same 30 planted affine near-copies as
+    d_cosine_neardup guarantee the green row certifies real drops."""
+    from imgfact_spark.operators.similarity import semantic_dedup
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * 1.25 + 0.01
+        ).alias("embedding"),
+    )
+    e = base.unionByName(planted)
+    return semantic_dedup(
+        e, dim=64, threshold=0.4, n_cells=8, n_iters=3,
+        method="column", deterministic=True,
+    )
+
+
+ORACLES["d_semantic_dedup"] = _semantic_dedup_oracle_sql()
 
 
 @_register(
@@ -3678,15 +3911,23 @@ _DRIVER_SAMPLE_FIRST = [
     # untouched) for the components query, which converts the one
     # pytest-only dedup-tier cell to driver-checked
     "d_dup_components",
-    "api_entity_vocab",
+    # api_entity_vocab rotates out (r4 row fresh through r6, code
+    # untouched) for the new SemDeDup query
+    "d_semantic_dedup",
     # st_windowed_event_counts rotates out (r4 row fresh through r6) for the
     # new streaming-dedup operator, which needs a first driver row
     "st_dedup_stream",
-    "st_sessionization",
-    "mm_frame_sample",
+    # st_sessionization rotates out (r4 row fresh through r6, code
+    # untouched) for the new Gopher rule-gate query
+    "t_gopher_rules",
+    # mm_frame_sample rotates out (r4 row fresh through r6, code
+    # untouched) for the new TF-IDF keyword query
+    "t_tfidf_keywords",
     "mm_extract_features",
     "m6_cluster_representatives",
-    "j9_messy_swap",
+    # j9_messy_swap rotates out (r4 row fresh through r6, code untouched)
+    # for the new multi-granularity time rollup
+    "x_time_rollup",
     # w2_top5_membership / a2_group_collect_scored rotate out for the two
     # queries new this session (their r4 rows stay fresh through r6)
     "d_dup_passages",

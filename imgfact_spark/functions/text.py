@@ -259,3 +259,88 @@ def rolling_fingerprint(col: Column | str, base: int = 131) -> Column:
         lambda h, t: (h * F.lit(base) + t) % F.lit(2147483647),
     )
     return F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(folded)
+
+
+# Gopher rule-set stopwords (Rae et al. 2021, §A1.1: "the, be, to, of, and,
+# that, have, with" — a document must contain at least two of them).
+_GOPHER_STOPWORDS = "the,be,to,of,and,that,have,with"
+
+
+def gopher_rules(col: Column | str) -> Column:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1; the
+    same rule family C4/Dolma/FineWeb use): seven boolean rules plus their
+    conjunction, as ONE struct-typed pure-Column expression.
+
+    Rules (each True = the document passes that gate):
+      * word_count      — 50 ≤ words ≤ 100,000
+      * mean_word_len   — mean token length in [3, 10]
+      * symbol_ratio    — (#'#' + #'...' + #'…') / words ≤ 0.1
+      * bullet_lines    — ≤ 90% of lines start with a bullet (-, *, •)
+      * ellipsis_lines  — ≤ 30% of lines end with '...' or '…'
+      * alpha_words     — ≥ 80% of tokens contain a letter
+      * stopwords       — ≥ 2 distinct Gopher stopwords present
+    plus ``keep`` = AND of all seven, and ``n_words`` for diagnostics.
+
+    Everything is array/regex Column algebra over ``normalized_tokens``
+    (the corpus tokenizer contract) — no explode, no shuffle, no Python:
+    at 100 TB this is a map-only projection that fuses into the scan,
+    like ``quality_score``/``repetition_ratio``.  The filter-lambda
+    bodies are single rlike/length calls (HOF lambdas evaluate
+    interpreted per element — keep them minimal).  Blank documents fail
+    every ratio rule explicitly (no 0/0).
+
+    The reference's corpus arrives pre-curated (its quality gates are
+    model thresholds, ptuningfilter.py:33-47); this is the engine
+    extension a from-crawl corpus needs upstream of those gates.
+    """
+    raw = F.col(col) if isinstance(col, str) else col
+    blank = F.length(F.trim(raw)) == 0
+    toks = normalized_tokens(raw)
+    n_w = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("bigint")
+    nw_d = n_w.cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)
+    )
+    mean_len = F.when(n_w > 0, sum_len.cast("double") / nw_d).otherwise(F.lit(0.0))
+    n_sym = F.size(
+        F.regexp_extract_all(raw, F.lit(r"#|\.\.\.|…"), F.lit(0))
+    ).cast("double")
+    lines = F.split(raw, "\n")
+    n_l = F.size(lines).cast("double")  # split() is never empty: n_l >= 1
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+    ).cast("double")
+    n_ell = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    n_alpha = F.when(blank, F.lit(0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    ).cast("double")
+    stop_hits = F.size(
+        F.array_intersect(toks, F.split(F.lit(_GOPHER_STOPWORDS), ","))
+    )
+    r_words = (n_w >= 50) & (n_w <= 100000)
+    r_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    r_sym = F.when(n_w > 0, n_sym / nw_d <= 0.1).otherwise(F.lit(False))
+    r_bullet = n_bullet / n_l <= 0.9
+    r_ell = n_ell / n_l <= 0.3
+    r_alpha = F.when(n_w > 0, n_alpha / nw_d >= 0.8).otherwise(F.lit(False))
+    r_stop = stop_hits >= 2
+    rules = [r_words, r_mean, r_sym, r_bullet, r_ell, r_alpha, r_stop]
+    keep = rules[0]
+    n_rules = rules[0].cast("int")
+    for r in rules[1:]:
+        keep = keep & r
+        n_rules = n_rules + r.cast("int")
+    return F.struct(
+        n_w.alias("n_words"),
+        r_words.alias("r_word_count"),
+        r_mean.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        n_rules.alias("n_rules"),
+        keep.alias("keep"),
+    )

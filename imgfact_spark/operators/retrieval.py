@@ -26,7 +26,7 @@ Spark shape — three bounded aggregations, no joins on the corpus side:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from imgfact_spark.operators.topk import topk_per_group
@@ -242,4 +242,68 @@ def bm25_topk_queries(
         order_by=[F.desc("score")],
         k=k,
         tiebreak=[id_col],
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the standard corpus
+    keyword/topic-signal extractor (tf · ln(N/df), raw counts, natural
+    log — the classic formulation).
+
+    Returns (id_col, term, tf, dfreq, score, rank) with score
+    floor-truncated at 1e-6 and rank ties broken on term asc.
+
+    Scale shape — three shuffles, each on a different bounded key:
+
+      * per-(doc, term) tf: explode the token array → partial-agg count
+        (map-side combine absorbs within-partition repeats, so shuffle
+        rows ≤ distinct (doc, term) pairs, not token instances);
+      * per-term df via a COUNT window over the tf relation partitioned
+        by term — reuses the aggregated (doc, term) rows instead of a
+        vocab-sized self-join (a web-scale vocabulary is NOT
+        broadcastable; this keeps df computation one hash exchange);
+      * corpus N is a 1-row aggregate, broadcast;
+      * per-doc top-k plans as WindowGroupLimit (bounded heap per doc).
+
+    Engine extension: the reference mines entity/relation surface forms
+    from pre-aligned abstracts (no corpus-statistics mining); a from-crawl
+    corpus needs the statistical keyword signal upstream
+    (SURVEY.md §2 training-data tier).
+    """
+    toks = _tokens(text_col)
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(toks, lambda t: F.length(t) >= min_term_len)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    stats = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("dfreq", F.count("*").over(w_term))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq"))
+                * 1e6
+            )
+            / 1e6,
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_doc))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "dfreq", "score", "rank")
     )

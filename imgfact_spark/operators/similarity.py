@@ -607,3 +607,82 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    method: str = "pandas",
+    deterministic: bool = False,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): cluster the embedding space with the spherical k-means
+    coarse quantizer, then search for τ-similar pairs ONLY within each
+    cluster — turning the O(n²) all-pairs cosine scan into Σ O(|cell|²)
+    with |cell| ≈ n/k, while catching exactly the pairs a semantic dedup
+    wants (near-dups share a cell because the quantizer is trained on the
+    same geometry).
+
+    Keep policy (deterministic, partitioning-invariant): a row is DROPPED
+    iff some τ-similar neighbor with a smaller ``id_col`` shares its cell;
+    ``dup_of`` reports the smallest such neighbor.  (The paper keeps one
+    random exemplar per duplicate set; smallest-id is the deterministic
+    equivalent — the same representative rule as exact_dedup.)
+
+    Returns (id_col, cell, keep, dup_of).
+
+    Scale shape: centroid training = ``n_iters`` corpus passes + a
+    driver-sized (n_cells × dim) aggregate (ivf_train_centroids);
+    assignment is a map-only broadcast-closure pass; the pair search is an
+    equi-self-join on the cell id — shuffle ∝ corpus rows, compare work
+    bounded by the largest cell (AQE skew-split absorbs unbalanced cells;
+    raise ``n_cells`` to cap |cell| — the paper runs k ≈ n/100k).  Nothing
+    is all-pairs, nothing driver-side.  ``deterministic=True`` +
+    ``method='column'`` makes every value (cells, cosines, drops)
+    bitwise-replicable in numpy/DuckDB, which is what the driver oracle
+    injects as centroid literals.
+
+    Engine extension: the reference dedups by exact media key only
+    (composite-key dropDuplicates, SURVEY §2 A5); this is the embedding-
+    space near-dup its corpus curation lacks.
+    """
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            c, dim, n_cells=n_cells, n_iters=n_iters, id_col=id_col,
+            vec_col=vec_col, seed=seed, deterministic=deterministic,
+        )
+    assigned = snapshot(
+        _assign_cells(c, centroids, vec_col, method=method).select(
+            id_col, vec_col, F.col("_cell").cast("bigint").alias("cell")
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_sim("_va", "_vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+    )
+    drops = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(drops, [id_col], "left")
+        .select(
+            id_col, "cell", F.col("dup_of").isNull().alias("keep"), "dup_of"
+        )
+    )

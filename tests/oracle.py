@@ -136,3 +136,35 @@ def redact_pii_py(text: str) -> str:
     for pat, tag in _PII_PATTERNS:
         text = re.sub(pat, tag, text)
     return text
+
+
+def gopher_rules_py(text: str) -> dict:
+    """Python twin of functions/text.gopher_rules — independent
+    re/str implementation of the seven Gopher §A1.1 rules."""
+    import re
+
+    from imgfact_spark.functions.text import _GOPHER_STOPWORDS
+
+    blank = len(text.strip()) == 0
+    toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    n_w = 0 if blank else len(toks)
+    mean_len = (sum(len(t) for t in toks) / n_w) if n_w > 0 else 0.0
+    n_sym = len(re.findall(r"#|\.\.\.|…", text))
+    lines = text.split("\n")
+    n_bullet = sum(1 for ln in lines if re.match(r"^[-*•]", ln.lstrip()))
+    n_ell = sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip()))
+    n_alpha = 0 if blank else sum(1 for t in toks if re.search("[a-z]", t))
+    stop_hits = len(set(toks) & set(_GOPHER_STOPWORDS.split(",")))
+    out = {
+        "n_words": n_w,
+        "r_word_count": 50 <= n_w <= 100000,
+        "r_mean_word_len": 3.0 <= mean_len <= 10.0,
+        "r_symbol_ratio": (n_sym / n_w <= 0.1) if n_w > 0 else False,
+        "r_bullet_lines": n_bullet / len(lines) <= 0.9,
+        "r_ellipsis_lines": n_ell / len(lines) <= 0.3,
+        "r_alpha_words": (n_alpha / n_w >= 0.8) if n_w > 0 else False,
+        "r_stopwords": stop_hits >= 2,
+    }
+    out["n_rules"] = sum(v for k, v in out.items() if k.startswith("r_"))
+    out["keep"] = all(v for k, v in out.items() if k.startswith("r_"))
+    return out

@@ -7,7 +7,11 @@ import math
 
 import pytest
 
-from imgfact_spark.operators.retrieval import bm25_topk, bm25_topk_queries
+from imgfact_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_queries,
+    tfidf_keywords,
+)
 from imgfact_spark.operators.sampling import (
     sample_global,
     sample_mixture,
@@ -157,6 +161,47 @@ def test_bm25_matches_pandas_oracle(corpus):
     want = dict(sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15])
     assert got == pytest.approx(want, abs=2e-6)
     assert set(got) == set(want)
+
+
+def test_tfidf_keywords_matches_pandas_oracle(corpus):
+    from collections import Counter
+
+    got = [
+        (r.doc_id, r.term, r.tf, r.dfreq, r.score, r.rank)
+        for r in tfidf_keywords(corpus, k=3, min_term_len=2)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+
+    rows = corpus.select("doc_id", "text").collect()
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if len(t) >= 2]
+        for r in rows
+    }
+    n = len(docs)
+    dfreq = Counter(t for toks in docs.values() for t in set(toks))
+    want = []
+    for d in sorted(docs):
+        tf = Counter(docs[d])
+        scored = sorted(
+            (
+                (t, c, dfreq[t], math.floor(c * math.log(n / dfreq[t]) * 1e6) / 1e6)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        want += [(d, t, c, df_, s, i + 1) for i, (t, c, df_, s) in enumerate(scored)]
+    assert got == want
+
+
+def test_tfidf_rare_term_tops_common(spark):
+    # a term appearing in one doc must outscore the everywhere-term
+    rows = [(0, "rare common filler")] + [
+        (i, "common filler extra") for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = tfidf_keywords(df, k=1).filter("doc_id = 0").collect()
+    assert top[0].term == "rare" and top[0].dfreq == 1
 
 
 def test_bm25_rare_term_outranks_common(spark):

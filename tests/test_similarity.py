@@ -342,3 +342,55 @@ def test_ivf_column_mode_matches_pandas_candidates(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Planted near-copies (ids 115-119 ≈ 0-4) are dropped with dup_of =
+    the original; a numpy brute-force twin of the full policy (cell
+    assignment + within-cell τ-pairs + min-id drop) agrees row for row;
+    partitioning never changes the result."""
+    from imgfact_spark.operators.similarity import (
+        ivf_train_centroids_numpy,
+        semantic_dedup,
+    )
+
+    df, vecs = _vectors(spark)
+    out = semantic_dedup(
+        df, dim=DIM, threshold=0.9, n_cells=6, n_iters=3,
+        method="column", deterministic=True,
+    )
+    got = {r.vec_id: (r.cell, r.keep, r.dup_of) for r in out.collect()}
+    assert len(got) == N
+
+    # numpy twin
+    ids = np.arange(N)
+    m = vecs.astype("float64")
+    cents = ivf_train_centroids_numpy(ids, m, n_cells=6, n_iters=3, seed=42)
+    cells = np.argmax(m @ cents.T, axis=1)
+    norms = np.linalg.norm(m, axis=1)
+    dup_of = {}
+    for j in range(N):
+        for i in range(j):
+            if cells[i] != cells[j]:
+                continue
+            cos = round(m[i] @ m[j] / (norms[i] * norms[j]), 6)
+            if cos >= 0.9:
+                dup_of.setdefault(j, i)
+    for v_id, (cell, keep, d) in got.items():
+        assert cell == cells[v_id], v_id
+        assert keep == (v_id not in dup_of), v_id
+        assert d == dup_of.get(v_id), v_id
+    # the 5 planted copies are exactly the drops, each pointing at its twin
+    assert {v for v, (_, k, _) in got.items() if not k} == {N - 5 + i for i in range(5)}
+    for i in range(5):
+        assert got[N - 5 + i][2] == i
+
+    # partitioning invariance
+    got2 = {
+        r.vec_id: (r.cell, r.keep, r.dup_of)
+        for r in semantic_dedup(
+            df.repartition(13), dim=DIM, threshold=0.9, n_cells=6, n_iters=3,
+            method="column", deterministic=True,
+        ).collect()
+    }
+    assert got2 == got

@@ -181,3 +181,66 @@ def test_range_join_matches_twin_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_time_rollup_matches_pandas_twin_and_plan(spark):
+    """time_rollup == an independent pandas groupby at every level; the
+    plan is ONE Expand + hash aggregate (no join, no union of per-level
+    scans)."""
+    import math
+
+    import pandas as pd
+
+    from imgfact_spark.operators.rollup import time_rollup
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1 + (i % 3), (i * 7) % 24, (i * 13) % 60),
+            "click" if i % 2 else "view",
+            (i % 11) * 0.37 - 1.5,
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = time_rollup(ev, "ts", ["event_type"], "value", ("day", "hour"))
+    got = {
+        (r.event_type, r.day_us, r.hour_us, r.gran): (r.n_events, r.sum_cents)
+        for r in out.collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    pdf["cents"] = pdf["value"].map(lambda v: math.floor(v * 100))
+    us = lambda s: (s.astype("datetime64[us]").astype("int64"))  # noqa: E731
+    pdf["day_us"] = us(pdf["ts"].dt.floor("D"))
+    pdf["hour_us"] = us(pdf["ts"].dt.floor("h"))
+    want = {}
+    for (et, d, h), g in pdf.groupby(["event_type", "day_us", "hour_us"]):
+        want[(et, d, h, "hour")] = (len(g), g["cents"].sum())
+    for (et, d), g in pdf.groupby(["event_type", "day_us"]):
+        want[(et, d, None, "day")] = (len(g), g["cents"].sum())
+    for et, g in pdf.groupby("event_type"):
+        want[(et, None, None, "all")] = (len(g), g["cents"].sum())
+    assert got == want
+
+    # one Expand + hash aggregate; never a per-level Union or a join (the
+    # AQE plan string prints the Expand node in both the final and the
+    # initial plan section, so assert presence, not count)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    assert "Expand" in plan
+
+
+def test_time_rollup_rejects_unordered_granularities(spark):
+    import pytest as _pytest
+
+    from imgfact_spark.operators.rollup import time_rollup
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    with _pytest.raises(ValueError):
+        time_rollup(ev, "ts", ["event_type"], "value", ("hour", "day"))

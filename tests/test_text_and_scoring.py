@@ -231,6 +231,40 @@ def test_repetition_ratio_known_values(spark):
         assert abs(g - want) < 1e-12, (txt, g, want)
 
 
+def test_gopher_rules_spark_matches_python_twin(spark):
+    """Column implementation == independent re/str twin on adversarial
+    cases: blanks, bullet/ellipsis line mixes, symbol floods, word-count
+    boundaries (exactly 50 words), digit-only tokens, multi-line docs."""
+    from imgfact_spark.functions.text import gopher_rules
+    from tests.oracle import gopher_rules_py
+
+    fifty = " ".join(
+        f"the be to of and that have with word{i}" for i in range(5)
+    )  # exactly 50 tokens, stopword-rich, mean len in range
+    cases = [
+        "",
+        "   ",
+        "one",
+        fifty,
+        fifty + " extra",
+        "# " * 60,                                # symbol flood
+        "- bullet\n- bullet\n- bullet\nplain",     # 75% bullets: passes
+        "- b\n- b\n- b\n- b",                      # 100% bullets: fails
+        "end...\nend…\nplain\nplain",              # 50% ellipsis: fails
+        " ".join(["123"] * 60),                    # no alpha words
+        " ".join(["supercalifragilistic"] * 60),   # mean len > 10
+        "the be to of " + " ".join(f"w{i}" for i in range(46)) + "\n  - x\ntail...",
+        "\tthe be\n" + fifty,
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = [
+        r.asDict()
+        for r in df.select(gopher_rules("t").alias("g")).select("g.*").collect()
+    ]
+    for txt, g in zip(cases, got):
+        assert g == gopher_rules_py(txt), (txt[:60], g, gopher_rules_py(txt))
+
+
 def test_model_sim_scorer_partition_deterministic(spark):
     """score_groundings_model_sim (M2/M3 numpy stand-in) is a pure function
     of (s,p,o,media_ref): identical scores regardless of partitioning, all
