@@ -1454,6 +1454,46 @@ def x_time_rollup(spark, sf_dir):
 
 
 @_register(
+    "x_event_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), w AS (
+      SELECT event_type, bucket_us, CAST(n AS BIGINT) AS n,
+             CAST(SUM(n) OVER tw AS BIGINT) AS s,
+             CAST(SUM(n * n) OVER tw AS BIGINT) AS s2,
+             COUNT(n) OVER tw AS c
+      FROM c
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_us
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_us, n,
+           CASE WHEN c >= 12 AND (c * s2 - s * s) > 0
+                THEN FLOOR((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / c)
+                           / sqrt(CAST(c * s2 - s * s AS DOUBLE)
+                                  / CAST(c * (c - 1) AS DOUBLE)) * 1e4) / 1e4
+                ELSE NULL END AS z
+    FROM w
+    """,
+)
+def x_event_anomaly(spark, sf_dir):
+    """Trailing-window z-score anomaly over hourly event counts
+    (operators/stats.rolling_anomaly): per event type, each hour's count
+    scored against its previous 24 observed hours.  Integer-exact window
+    sums make the variance numerator exact, so z is bitwise-reproducible
+    (floored 1e-4).  Engine extension, same tier as the temporal joins."""
+    from imgfact_spark.operators.stats import rolling_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_anomaly(
+        ev, "ts", ["event_type"], bucket="hour", trailing=24, min_history=12
+    )
+
+
+@_register(
     "t_lm_fluency",
     r"""
     WITH toks AS (
@@ -3953,7 +3993,9 @@ _DRIVER_SAMPLE_FIRST = [
     # training-data operators, which need first driver rows
     "t_sample_mixture",
     "t_pack_sequences",
-    "t_pii_redact",
+    # t_pii_redact rotates out (r4 row fresh through r6, code untouched)
+    # for the new trailing-window anomaly query
+    "x_event_anomaly",
     # t_repetition_ratio rotates out (r4 row fresh through r6, code
     # untouched) for the new fingerprint/BPE-count functions
     "t_fingerprint_tokens",

@@ -64,3 +64,67 @@ def length_quantiles(
             name, F.floor(F.try_element_at("_qs", F.lit(i + 1)) * 1e6) / 1e6
         )
     return out.drop("_qs")
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    bucket: str = "hour",
+    trailing: int = 24,
+    min_history: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score anomaly signal over an event stream: bucket
+    the timestamps, count per (keys, bucket), and score each bucket's
+    count against the mean/stddev of its own previous ``trailing`` buckets
+    — the standard ops-monitoring / data-drift detector a corpus ingestion
+    pipeline runs over crawl volume (a spike = a crawler loop or a dump
+    re-ingest; a crater = a dead source).
+
+    Returns (keys…, bucket_us, n, z) with z = (n − μ_prev)/σ_prev floored
+    at 1e-4, NULL while history < ``min_history`` buckets or σ ≈ 0.
+
+    Exactness: the window aggregates are integer sums (counts and squared
+    counts), so μ and σ² derive from EXACT integers with three fixed
+    double ops — ``σ² = (c·Σn² − (Σn)²) / (c·(c−1))`` — making z
+    bitwise-reproducible across engines (no float accumulation order
+    anywhere).  The catastrophic-cancellation risk of the textbook
+    ``Σn²/c − μ²`` float form is gone for the same reason: the numerator
+    is computed in integers.
+
+    Scale shape: ONE shuffle on (keys, bucket) for the count (map-side
+    partial), then a window shuffle on keys — state per key is the
+    bucket series (≤ 8,760 rows/key/year), never raw events.  The frame
+    is ROWS over observed buckets (gap-skipping, like a dense rollup
+    series); feed :func:`~imgfact_spark.operators.rollup.time_rollup`
+    output to score a pre-densified grid instead.
+    """
+    from pyspark.sql import Window
+
+    b = (
+        F.unix_micros(F.date_trunc(bucket, F.col(ts_col)).cast("timestamp"))
+        .cast("bigint")
+        .alias("bucket_us")
+    )
+    counts = events.groupBy(*keys, b).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_us")
+        .rowsBetween(-trailing, -1)
+    )
+    s = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    c = F.count("n").over(w)
+    varnum = c * s2 - s * s  # exact bigint: no float cancellation
+    mean = s.cast("double") / c
+    z = (F.col("n").cast("double") - mean) / F.sqrt(
+        varnum.cast("double") / (c * (c - 1)).cast("double")
+    )
+    return counts.select(
+        *keys,
+        "bucket_us",
+        "n",
+        F.when(
+            (c >= min_history) & (varnum > 0), F.floor(z * 1e4) / 1e4
+        ).alias("z"),
+    )

@@ -369,3 +369,49 @@ def test_cooccurrence_lift_caps_heavy_groups(spark):
                             max_items_per_group=2).collect()
     # group 1 truncated to its first two items by id -> only pair (0,1) twice
     assert [(r.item_a, r.item_b, r.n_both) for r in out] == [(0, 1, 2)]
+
+
+def test_rolling_anomaly_matches_python_twin(spark):
+    """rolling_anomaly == an exact-integer python twin (same σ² formula);
+    a planted 10× spike hour scores z > 4 while steady hours stay |z| < 3;
+    history shorter than min_history yields NULL."""
+    import datetime as dt
+    import math
+
+    from imgfact_spark.operators.stats import rolling_anomaly
+
+    rows, eid = [], 0
+    for h in range(60):                      # 60 hourly buckets
+        n = 5 + (h % 3)                      # steady 5..7 events/hour
+        if h == 50:
+            n = 60                           # planted spike
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r.bucket_us: (r.n, r.z)
+        for r in rolling_anomaly(
+            ev, "ts", ["event_type"], trailing=24, min_history=12
+        ).collect()
+    }
+    assert len(got) == 60
+
+    # twin: exact integer window sums, identical double formula
+    counts = [(h, 60 if h == 50 else 5 + (h % 3)) for h in range(60)]
+    for idx, (h, n) in enumerate(counts):
+        hist = [c for _, c in counts[max(0, idx - 24):idx]]
+        us = int((dt.datetime(2024, 3, 1) + dt.timedelta(hours=h)
+                  - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+        c, s, s2 = len(hist), sum(hist), sum(x * x for x in hist)
+        varnum = c * s2 - s * s
+        if c >= 12 and varnum > 0:
+            want = math.floor((n - s / c) / math.sqrt(varnum / (c * (c - 1))) * 1e4) / 1e4
+        else:
+            want = None
+        assert got[us] == (n, want), (h, got[us], (n, want))
+    spike_us = int((dt.datetime(2024, 3, 1) + dt.timedelta(hours=50)
+                    - dt.datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+    assert got[spike_us][1] > 4
+    steady = [z for us, (n, z) in got.items() if z is not None and us != spike_us]
+    assert steady and all(abs(z) < 3 for z in steady)
