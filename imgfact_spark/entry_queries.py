@@ -1152,7 +1152,7 @@ def t_quality_score(spark, sf_dir):
     r"""
     WITH m AS (
       SELECT doc_id,
-             length(trim(text)) = 0 AS blank,
+             length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 AS blank,
              string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
              string_split(text, chr(10)) AS lines,
              len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
@@ -1161,8 +1161,8 @@ def t_quality_score(spark, sf_dir):
       SELECT doc_id, blank, lines, toks, n_sym,
              CASE WHEN blank THEN 0 ELSE len(toks) END AS n_words,
              list_sum(list_transform(toks, t -> length(t))) AS sum_len,
-             len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS n_bullet,
-             len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS n_ell,
+             len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS n_ell,
              CASE WHEN blank THEN 0
                   ELSE len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) END AS n_alpha,
              len(list_intersect(toks, string_split('the,be,to,of,and,that,have,with', ','))) AS stop_hits

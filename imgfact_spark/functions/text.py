@@ -294,7 +294,10 @@ def gopher_rules(col: Column | str) -> Column:
     extension a from-crawl corpus needs upstream of those gates.
     """
     raw = F.col(col) if isinstance(col, str) else col
-    blank = F.length(F.trim(raw)) == 0
+    # blank = nothing after whitespace-collapse (Spark trim alone strips
+    # only ASCII spaces — a tab/newline-only doc must count as blank, the
+    # same collapse-THEN-trim order as normalized_tokens)
+    blank = F.length(F.trim(F.regexp_replace(raw, r"\s+", " "))) == 0
     toks = normalized_tokens(raw)
     n_w = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("bigint")
     nw_d = n_w.cast("double")
@@ -307,11 +310,15 @@ def gopher_rules(col: Column | str) -> Column:
     ).cast("double")
     lines = F.split(raw, "\n")
     n_l = F.size(lines).cast("double")  # split() is never empty: n_l >= 1
+    # explicit [ \t] indent/trail classes: F.ltrim/F.rtrim strip ASCII
+    # spaces only (tab-indented bullets would evade the gate), and \s in
+    # a Java regex counts \x0B where RE2 does not — the explicit class is
+    # the engine-portable spelling
     n_bullet = F.size(
-        F.filter(lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]"))
+        F.filter(lines, lambda ln: ln.rlike(r"^[ \t]*[-*•]"))
     ).cast("double")
     n_ell = F.size(
-        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)[ \t]*$"))
     ).cast("double")
     n_alpha = F.when(blank, F.lit(0)).otherwise(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))

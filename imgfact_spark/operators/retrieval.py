@@ -285,9 +285,6 @@ def tfidf_keywords(
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     w_term = Window.partitionBy("term")
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.desc("score"), F.asc("term")
-    )
     stats = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.withColumn("dfreq", F.count("*").over(w_term))
@@ -302,8 +299,7 @@ def tfidf_keywords(
             / 1e6,
         )
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w_doc))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "term", "tf", "dfreq", "score", "rank")
-    )
+    return topk_per_group(
+        scored, keys=[id_col], order_by=[F.desc("score")], k=k,
+        tiebreak=["term"],
+    ).select(id_col, "term", "tf", "dfreq", "score", "rank")

@@ -32,8 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # coarse → fine; each granularity must nest inside the previous one so the
-# hierarchical prefixes of a ROLLUP are the meaningful aggregation levels
-_GRAIN_ORDER = ["year", "month", "week", "day", "hour", "minute"]
+# hierarchical prefixes of a ROLLUP are the meaningful aggregation levels.
+# 'week' is deliberately absent: ISO weeks do not nest in months or years
+# (a Jan 29–Feb 4 week would split into two (month, week) cells, breaking
+# the prefix invariant) — run a separate week-keyed rollup instead.
+_GRAIN_ORDER = ["year", "month", "day", "hour", "minute"]
 
 
 def time_rollup(
@@ -54,6 +57,13 @@ def time_rollup(
     """
     grans = list(granularities)
     order = {g: i for i, g in enumerate(_GRAIN_ORDER)}
+    unknown = [g for g in grans if g not in order]
+    if unknown:
+        raise ValueError(
+            f"unknown granularities {unknown}; supported (nesting): {_GRAIN_ORDER}"
+        )
+    if len(set(grans)) != len(grans):
+        raise ValueError(f"duplicate granularities: {grans}")
     if sorted(grans, key=lambda g: order[g]) != grans:
         raise ValueError(f"granularities must be coarse->fine: {grans}")
     bucket_names = [f"{g}_us" for g in grans]

@@ -106,7 +106,15 @@ def rolling_anomaly(
         .cast("bigint")
         .alias("bucket_us")
     )
-    counts = events.groupBy(*keys, b).agg(F.count("*").alias("n"))
+    # NULL timestamps never bucket: a NULL bucket row would sort
+    # NULLS-FIRST into Spark's window but NULLS-LAST in a SQL oracle,
+    # contaminating different trailing windows per engine (same rule as
+    # temporal.asof_join's NULL-ts exclusion)
+    counts = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys, b)
+        .agg(F.count("*").alias("n"))
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket_us")

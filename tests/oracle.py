@@ -145,14 +145,15 @@ def gopher_rules_py(text: str) -> dict:
 
     from imgfact_spark.functions.text import _GOPHER_STOPWORDS
 
-    blank = len(text.strip()) == 0
-    toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+    collapsed = re.sub(r"\s+", " ", text).strip()
+    blank = len(collapsed) == 0
+    toks = collapsed.lower().split(" ")
     n_w = 0 if blank else len(toks)
     mean_len = (sum(len(t) for t in toks) / n_w) if n_w > 0 else 0.0
     n_sym = len(re.findall(r"#|\.\.\.|…", text))
     lines = text.split("\n")
-    n_bullet = sum(1 for ln in lines if re.match(r"^[-*•]", ln.lstrip()))
-    n_ell = sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip()))
+    n_bullet = sum(1 for ln in lines if re.match(r"^[ \t]*[-*•]", ln))
+    n_ell = sum(1 for ln in lines if re.search(r"(\.\.\.|…)[ \t]*$", ln))
     n_alpha = 0 if blank else sum(1 for t in toks if re.search("[a-z]", t))
     stop_hits = len(set(toks) & set(_GOPHER_STOPWORDS.split(",")))
     out = {

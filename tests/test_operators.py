@@ -388,6 +388,7 @@ def test_rolling_anomaly_matches_python_twin(spark):
         for _ in range(n):
             rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(hours=h), "click"))
             eid += 1
+    rows.append((eid, None, "click"))  # NULL ts: must never bucket
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
     got = {
         r.bucket_us: (r.n, r.z)
@@ -395,7 +396,7 @@ def test_rolling_anomaly_matches_python_twin(spark):
             ev, "ts", ["event_type"], trailing=24, min_history=12
         ).collect()
     }
-    assert len(got) == 60
+    assert len(got) == 60 and None not in got
 
     # twin: exact integer window sums, identical double formula
     counts = [(h, 60 if h == 50 else 5 + (h % 3)) for h in range(60)]

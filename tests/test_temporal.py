@@ -244,3 +244,7 @@ def test_time_rollup_rejects_unordered_granularities(spark):
     )
     with _pytest.raises(ValueError):
         time_rollup(ev, "ts", ["event_type"], "value", ("hour", "day"))
+    with _pytest.raises(ValueError):  # duplicates
+        time_rollup(ev, "ts", ["event_type"], "value", ("day", "day"))
+    with _pytest.raises(ValueError):  # unknown name (and 'week': no nesting)
+        time_rollup(ev, "ts", ["event_type"], "value", ("month", "week"))

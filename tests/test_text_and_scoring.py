@@ -255,6 +255,10 @@ def test_gopher_rules_spark_matches_python_twin(spark):
         " ".join(["supercalifragilistic"] * 60),   # mean len > 10
         "the be to of " + " ".join(f"w{i}" for i in range(46)) + "\n  - x\ntail...",
         "\tthe be\n" + fifty,
+        "\t",                                      # tab-only: blank, 0 words
+        "\n\n",                                    # newline-only: blank
+        "\t- a\n\t- b\n\t- c\n\t- d",               # tab-indented bullet wall
+        "x...\t\ny...\t\nz...\t\nw...\t",           # tab-trailing ellipses
     ]
     df = spark.createDataFrame([(t,) for t in cases], "t string")
     got = [
