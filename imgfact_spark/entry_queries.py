@@ -2529,6 +2529,47 @@ FROM documents
 """
 
 
+@_register("st_event_anomaly")
+def st_event_anomaly(spark, sf_dir):
+    """Streaming volume-anomaly monitor == batch rolling_anomaly: events
+    arrive as two parquet waves split by event_id parity (so EVERY hourly
+    bucket needs partial counts from BOTH waves to be correct); each wave
+    is drained by an AvailableNow run of
+    ``streaming.incremental_event_counts`` sharing one checkpoint
+    (idempotent per-batch partial-count logs), then
+    ``event_anomaly_tables`` re-sums the log and scores — certified by
+    the SAME DuckDB oracle as the batch x_event_anomaly."""
+    import shutil
+    import tempfile
+
+    from imgfact_spark.streaming import (
+        event_anomaly_tables,
+        incremental_event_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="imgfact_stanom_")
+    try:
+        in_dir, work, ckpt = f"{root}/in", f"{root}/work", f"{root}/ckpt"
+        ev.filter("event_id % 2 = 0").write.mode("append").parquet(in_dir)
+        incremental_event_counts(spark, in_dir, work, ckpt)
+        ev.filter("event_id % 2 = 1").write.mode("append").parquet(in_dir)
+        incremental_event_counts(spark, in_dir, work, ckpt)
+        out = event_anomaly_tables(
+            spark, work, ["event_type"], trailing=24, min_history=12
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# same oracle as the batch query: the streaming partial-count log must
+# re-sum to the identical hourly counts and therefore identical z-scores
+ORACLES["st_event_anomaly"] = ORACLES["x_event_anomaly"]
+
+
 # =========================================================================
 # Read API (§3.2), streaming-equivalent windows, multimodal, clustering
 # =========================================================================
@@ -3945,7 +3986,6 @@ _DRIVER_SAMPLE_FIRST = [
     "t_quality_score",
     # r4 first-timers kept in-sample (rows stay current; mm_extract_features
     # gains a value-hash oracle this round and must be driver-certified)
-    "kg_construct_triples",
     "st_incremental_kg",
     # api_retrieve_by_relation rotates out (r4 row fresh through r6,
     # untouched) for the components query, which converts the one
@@ -3957,6 +3997,10 @@ _DRIVER_SAMPLE_FIRST = [
     # st_windowed_event_counts rotates out (r4 row fresh through r6) for the
     # new streaming-dedup operator, which needs a first driver row
     "st_dedup_stream",
+    # kg_construct_triples rotates out (its r4 row is fresh through r6 and
+    # the SAME oracle-certified path stays in-sample via st_incremental_kg
+    # and the flagship) for the new streaming anomaly monitor
+    "st_event_anomaly",
     # st_sessionization rotates out (r4 row fresh through r6, code
     # untouched) for the new Gopher rule-gate query
     "t_gopher_rules",

@@ -24,7 +24,7 @@ Two paths, one contract:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,7 +99,6 @@ def rolling_anomaly(
     series); feed :func:`~imgfact_spark.operators.rollup.time_rollup`
     output to score a pre-densified grid instead.
     """
-    from pyspark.sql import Window
 
     b = (
         F.unix_micros(F.date_trunc(bucket, F.col(ts_col)).cast("timestamp"))
@@ -115,6 +114,19 @@ def rolling_anomaly(
         .groupBy(*keys, b)
         .agg(F.count("*").alias("n"))
     )
+    return zscore_over_counts(counts, keys, trailing, min_history)
+
+
+def zscore_over_counts(
+    counts: DataFrame,
+    keys: list[str],
+    trailing: int = 24,
+    min_history: int = 12,
+) -> DataFrame:
+    """The scoring leg of :func:`rolling_anomaly` over a pre-aggregated
+    (keys…, bucket_us, n) relation — shared with the streaming monitor
+    (streaming.incremental_event_counts), whose per-batch partial counts
+    re-sum to exactly this relation (integer counts are associative)."""
     w = (
         Window.partitionBy(*keys)
         .orderBy("bucket_us")

@@ -356,3 +356,81 @@ def windowed_event_counts(
         "n_events",
         "sum_value",
     )
+
+
+def incremental_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    await_termination: bool = True,
+):
+    """Streaming leg of the volume-anomaly monitor: per arriving event
+    micro-batch, pre-aggregate PARTIAL (keys, bucket) counts and append
+    them to a batch-id-partitioned log.  Idempotent under foreachBatch's
+    at-least-once replay (each batch overwrites ITS OWN directory, the
+    incremental_extract pattern), and integer counts are associative, so
+    re-summing the log per bucket is EXACTLY the batch count no matter how
+    waves/restarts sliced the events.  Scoring stays a batch window over
+    the tiny counts relation (:func:`event_anomaly_tables`) — state per
+    key is buckets, never events, which is why the monitor needs no
+    stateful streaming operator at all.
+    """
+    keys = list(keys or ["event_type"])
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = (
+            F.unix_micros(
+                F.date_trunc(bucket, F.col(ts_col)).cast("timestamp")
+            )
+            .cast("bigint")
+            .alias("bucket_us")
+        )
+        partial = (
+            batch_df.filter(F.col(ts_col).isNotNull())
+            .groupBy(*keys, b)
+            .agg(F.count("*").alias("n_partial"))
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{work_dir}/counts_log/batch_id={batch_id}"
+        )
+
+    ev = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        ev.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def event_anomaly_tables(
+    spark: SparkSession,
+    work_dir: str,
+    keys: list[str] | None = None,
+    trailing: int = 24,
+    min_history: int = 12,
+) -> DataFrame:
+    """Current anomaly view over the incremental counts log: re-sum the
+    per-batch partials per bucket (exact integers), then the batch
+    z-score window — bit-identical to running
+    :func:`~imgfact_spark.operators.stats.rolling_anomaly` over the full
+    event set (the st_event_anomaly driver query certifies a two-wave run
+    against the SAME DuckDB oracle as the batch x_event_anomaly)."""
+    from imgfact_spark.operators.stats import zscore_over_counts
+
+    keys = list(keys or ["event_type"])
+    counts = (
+        spark.read.parquet(f"{work_dir}/counts_log")
+        .groupBy(*keys, "bucket_us")
+        .agg(F.sum("n_partial").alias("n"))
+    )
+    return zscore_over_counts(counts, keys, trailing, min_history)

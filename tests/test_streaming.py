@@ -352,3 +352,51 @@ def test_dedup_stream_within_watermark_plan(spark):
     out = dedup_stream(src, F.col("value"), ts_col="timestamp", watermark="10 minutes")
     plan = out._jdf.queryExecution().analyzed().toString().lower()
     assert "deduplicatewithinwatermark" in plan, plan
+
+
+def test_incremental_event_counts_matches_batch_anomaly(spark, tmp_path):
+    """Two-wave streaming partial-count log, re-summed and scored, equals
+    batch rolling_anomaly over the full event set — with waves split by
+    event parity so EVERY bucket composes partials from both waves (and a
+    NULL-ts event that must never bucket)."""
+    import datetime as dt
+
+    from imgfact_spark.operators.stats import rolling_anomaly
+    from imgfact_spark.streaming import (
+        event_anomaly_tables,
+        incremental_event_counts,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(40):
+        for _ in range(4 + (h % 5)):
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1) + dt.timedelta(hours=h, minutes=eid % 60),
+                 "view" if eid % 3 else "click")
+            )
+            eid += 1
+    rows.append((eid, None, "click"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter("event_id % 2 = 0").write.mode("append").parquet(in_dir)
+    incremental_event_counts(spark, in_dir, work, ckpt)
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(in_dir)
+    incremental_event_counts(spark, in_dir, work, ckpt)
+
+    got = {
+        (r.event_type, r.bucket_us): (r.n, r.z)
+        for r in event_anomaly_tables(
+            spark, work, ["event_type"], trailing=10, min_history=5
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.bucket_us): (r.n, r.z)
+        for r in rolling_anomaly(
+            ev, "ts", ["event_type"], trailing=10, min_history=5
+        ).collect()
+    }
+    assert got == want and len(got) == 80  # 40 hours x 2 types, no NULL row
