@@ -1254,6 +1254,42 @@ def t_tfidf_keywords(spark, sf_dir):
 
 
 @_register(
+    "t_chunk_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+             length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 AS blank
+      FROM documents
+    ), m AS (
+      SELECT doc_id, toks,
+             CASE WHEN blank THEN 0 ELSE len(toks) END AS n
+      FROM base
+    ), c AS (
+      SELECT doc_id, toks,
+             1 + (GREATEST(n - 64, 0) + 47) // 48 AS nc
+      FROM m WHERE n > 0
+    ), e AS (
+      SELECT doc_id, toks, UNNEST(range(0, nc)) AS chunk_id FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text
+    FROM e
+    """,
+)
+def t_chunk_documents(spark, sf_dir):
+    """Context-window chunking with overlap (chunk 64, stride 48 → 16
+    tokens shared between neighbors) via operators/packing.chunk_documents
+    — map-only, no shuffle; integer chunk arithmetic exact on both
+    engines."""
+    from imgfact_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+@_register(
     "t_exact_dedup_groups",
     r"""
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -4043,7 +4079,9 @@ _DRIVER_SAMPLE_FIRST = [
     # t_repetition_ratio rotates out (r4 row fresh through r6, code
     # untouched) for the new fingerprint/BPE-count functions
     "t_fingerprint_tokens",
-    "t_corpus_length_profile",
+    # t_corpus_length_profile rotates out (r4 row fresh through r6, code
+    # untouched) for the new context-window chunking query
+    "t_chunk_documents",
     # new this round: executor-side per-partition model-checkpoint scoring (M2)
     "m2_checkpoint_scoring",
 ]

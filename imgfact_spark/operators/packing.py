@@ -135,3 +135,69 @@ def pack_sequences(
         (frag_lo - seq_lo).cast("long").alias("seq_offset"),
         (frag_hi - frag_lo).cast("long").alias("frag_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking: slice each document's token stream into
+    fixed-size chunks with optional overlap — the per-DOCUMENT companion
+    of :func:`pack_sequences` (packing concatenates short docs; chunking
+    splits long ones; a pretraining pipeline runs chunk → pack).
+
+    ``stride`` (default ``chunk_tokens`` = disjoint chunks) is the step
+    between chunk starts; ``stride < chunk_tokens`` overlaps chunks by
+    ``chunk_tokens − stride`` tokens, the standard sliding-context form.
+    Chunk count = 1 + ceil(max(n − chunk, 0)/stride), so every token is
+    covered and no start lies beyond the text.  Blank documents emit no
+    rows.  Returns (id_col, chunk_id, n_tokens, chunk_text).
+
+    Scale shape: pure map-only array algebra — tokenize once, build the
+    (usually tiny) start-index array with ``sequence``, explode, slice —
+    NO shuffle anywhere: the whole operator fuses into the scan, and the
+    integer chunk arithmetic is engine-exact (DuckDB-replicable).  The
+    tokenizer is the house ``normalized_tokens`` contract.
+    """
+    from imgfact_spark.functions.text import normalized_tokens
+
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
+        )
+    toks = normalized_tokens(F.col(text_col))
+    blank = F.length(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))) == 0
+    n = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    # ceil over integers: floor((x + stride - 1) / stride), exact bigint
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int")
+    )
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc")
+    )
+    piece = F.slice(
+        "_toks", F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)
+    )
+    return (
+        base.filter(F.col("_nc") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(piece).alias("n_tokens"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+        )
+    )

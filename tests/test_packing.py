@@ -144,3 +144,67 @@ def test_pack_plan_has_no_global_window_or_cartesian(docs):
     # the prefix-sum windows are per-range-partition; nothing may funnel
     # the fact data through one task
     assert "Exchange SinglePartition" not in plan
+
+
+def test_chunk_documents_matches_python_twin(spark):
+    """chunk_documents == a python slicing twin: exact chunk boundaries,
+    overlap contract (stride < chunk shares chunk-stride tokens), full
+    token coverage, disjoint-mode reconstruction, blank docs emit nothing,
+    bad params raise."""
+    import re
+
+    import pytest as _pytest
+
+    from imgfact_spark.operators.packing import chunk_documents
+
+    texts = [
+        (0, " ".join(f"t{i}" for i in range(150))),   # 150 tokens: 4 chunks @64/48
+        (1, " ".join(f"u{i}" for i in range(64))),    # exactly one chunk
+        (2, " ".join(f"v{i}" for i in range(65))),    # one token over: 2 chunks
+        (3, "single"),
+        (4, ""),
+        (5, "  \t "),
+        (6, "A  B\tC\nD " * 20),                       # messy whitespace
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    for chunk, stride in ((64, 48), (64, 64), (10, 3)):
+        got = {
+            (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+        }
+        want = {}
+        for did, text in texts:
+            toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            if toks == [""]:
+                continue
+            n = len(toks)
+            nc = 1 + max(0, -(-(max(n - chunk, 0)) // stride))
+            for cid in range(nc):
+                piece = toks[cid * stride: cid * stride + chunk]
+                want[(did, cid)] = (len(piece), " ".join(piece))
+        assert got == want, (chunk, stride)
+        # coverage: union of chunk spans == all token indices
+        for did, text in texts:
+            toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            if toks == [""]:
+                continue
+            covered = set()
+            for (d, cid), (npc, _) in want.items():
+                if d == did:
+                    covered |= set(range(cid * stride, cid * stride + npc))
+            assert covered == set(range(len(toks))), (did, chunk, stride)
+
+    # disjoint mode reconstructs the token stream exactly
+    rows = sorted(
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=64, stride=64)
+        .filter("doc_id = 0").collect()
+    )
+    assert " ".join(t for _, t in rows).split(" ") == [
+        f"t{i}" for i in range(150)
+    ]
+
+    for bad in ((0, None), (64, 0), (48, 64)):
+        with _pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=bad[0], stride=bad[1])
