@@ -1496,7 +1496,8 @@ def x_time_rollup(spark, sf_dir):
       SELECT event_type,
              CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
              COUNT(*) AS n
-      FROM events GROUP BY event_type, date_trunc('hour', ts)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
     ), w AS (
       SELECT event_type, bucket_us, CAST(n AS BIGINT) AS n,
              CAST(SUM(n) OVER tw AS BIGINT) AS s,

@@ -197,6 +197,22 @@ def repetition_ratio(col: Column | str, sep: str = "\x1f") -> Column:
     ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n_g)
 
 
+def blank_text(col: Column | str) -> Column:
+    """THE corpus-wide blank predicate: true iff nothing survives the
+    tokenizer contract's whitespace collapse (collapse-THEN-trim — Spark
+    trim alone strips only ASCII spaces, so a tab/newline-only doc must
+    still count as blank).  One definition shared by gopher_rules and
+    chunk_documents so the gates can't drift from the tokenizer.
+
+    Portability note (same caveat as ``normalized_tokens`` and every
+    tokenizer oracle): the collapse uses ``\\s+``, which Java regex reads
+    as including \\x0B (vertical tab) while RE2/DuckDB does not — the
+    corpus contract is standard whitespace (space/tab/newline/CR/FF),
+    like the BMP-text contract of token_count_bpe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.trim(F.regexp_replace(c, r"\s+", " "))) == 0
+
+
 def normalized_tokens(col: Column | str) -> Column:
     """THE corpus-wide tokenizer contract: collapse whitespace → trim →
     lower → split on single spaces.  One definition shared by the dedup
@@ -294,10 +310,7 @@ def gopher_rules(col: Column | str) -> Column:
     extension a from-crawl corpus needs upstream of those gates.
     """
     raw = F.col(col) if isinstance(col, str) else col
-    # blank = nothing after whitespace-collapse (Spark trim alone strips
-    # only ASCII spaces — a tab/newline-only doc must count as blank, the
-    # same collapse-THEN-trim order as normalized_tokens)
-    blank = F.length(F.trim(F.regexp_replace(raw, r"\s+", " "))) == 0
+    blank = blank_text(raw)  # the shared tokenizer-contract predicate
     toks = normalized_tokens(raw)
     n_w = F.when(blank, F.lit(0)).otherwise(F.size(toks)).cast("bigint")
     nw_d = n_w.cast("double")

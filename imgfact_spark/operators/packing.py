@@ -162,7 +162,7 @@ def chunk_documents(
     integer chunk arithmetic is engine-exact (DuckDB-replicable).  The
     tokenizer is the house ``normalized_tokens`` contract.
     """
-    from imgfact_spark.functions.text import normalized_tokens
+    from imgfact_spark.functions.text import blank_text, normalized_tokens
 
     if stride is None:
         stride = chunk_tokens
@@ -171,8 +171,7 @@ def chunk_documents(
             f"need 0 < stride <= chunk_tokens, got {stride}/{chunk_tokens}"
         )
     toks = normalized_tokens(F.col(text_col))
-    blank = F.length(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))) == 0
-    n = F.when(blank, F.lit(0)).otherwise(F.size(toks))
+    n = F.when(blank_text(F.col(text_col)), F.lit(0)).otherwise(F.size(toks))
     # ceil over integers: floor((x + stride - 1) / stride), exact bigint
     n_chunks = F.when(n == 0, F.lit(0)).otherwise(
         F.lit(1)
@@ -182,7 +181,7 @@ def chunk_documents(
         ).cast("int")
     )
     base = docs.select(
-        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_nc")
+        F.col(id_col), toks.alias("_toks"), n_chunks.alias("_nc")
     )
     piece = F.slice(
         "_toks", F.col("chunk_id") * stride + 1, F.lit(chunk_tokens)

@@ -100,21 +100,37 @@ def rolling_anomaly(
     output to score a pre-densified grid instead.
     """
 
+    counts = bucket_counts(events, ts_col, keys, bucket)
+    return zscore_over_counts(counts, keys, trailing, min_history)
+
+
+def bucket_counts(
+    events: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    bucket: str = "hour",
+    count_col: str = "n",
+) -> DataFrame:
+    """The counting leg of :func:`rolling_anomaly`: (keys…, bucket_us,
+    count) with the bucket as an epoch-microsecond BIGINT — ONE shared
+    definition for the batch detector and the streaming monitor
+    (streaming.incremental_event_counts), so their bucketing can never
+    drift.
+
+    NULL timestamps never bucket: a NULL bucket row would sort
+    NULLS-FIRST into Spark's window but NULLS-LAST in a SQL oracle,
+    contaminating different trailing windows per engine (same rule as
+    temporal.asof_join's NULL-ts exclusion)."""
     b = (
         F.unix_micros(F.date_trunc(bucket, F.col(ts_col)).cast("timestamp"))
         .cast("bigint")
         .alias("bucket_us")
     )
-    # NULL timestamps never bucket: a NULL bucket row would sort
-    # NULLS-FIRST into Spark's window but NULLS-LAST in a SQL oracle,
-    # contaminating different trailing windows per engine (same rule as
-    # temporal.asof_join's NULL-ts exclusion)
-    counts = (
+    return (
         events.filter(F.col(ts_col).isNotNull())
         .groupBy(*keys, b)
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias(count_col))
     )
-    return zscore_over_counts(counts, keys, trailing, min_history)
 
 
 def zscore_over_counts(

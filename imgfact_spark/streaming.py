@@ -379,22 +379,17 @@ def incremental_event_counts(
     key is buckets, never events, which is why the monitor needs no
     stateful streaming operator at all.
     """
+    from imgfact_spark.operators.stats import bucket_counts
+
     keys = list(keys or ["event_type"])
 
     schema = spark.read.parquet(input_dir).schema
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        b = (
-            F.unix_micros(
-                F.date_trunc(bucket, F.col(ts_col)).cast("timestamp")
-            )
-            .cast("bigint")
-            .alias("bucket_us")
-        )
-        partial = (
-            batch_df.filter(F.col(ts_col).isNotNull())
-            .groupBy(*keys, b)
-            .agg(F.count("*").alias("n_partial"))
+        # the SAME bucketing leg as the batch detector (shared helper —
+        # drift here would silently break the stream==batch guarantee)
+        partial = bucket_counts(
+            batch_df, ts_col, keys, bucket, count_col="n_partial"
         )
         partial.write.mode("overwrite").parquet(
             f"{work_dir}/counts_log/batch_id={batch_id}"
