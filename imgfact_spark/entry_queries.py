@@ -1078,13 +1078,31 @@ def f_scalar_pack(spark, sf_dir):
 # Text analysis (driver-mandated training-data ops over `documents`)
 # =========================================================================
 
+# shared oracle legs (factored so SQL twins can't drift): whitespace token
+# count and the floored-4dp quality blend, each matching the Spark columns
+# token_count("text") / floor(quality_score("text", round_to=None)*1e4)/1e4
+_TOKENS_LEG_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END"""
+
+_QUALITY_LEG_SQL = r"""FLOOR((
+             0.4 * LEAST(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0.0 END)
+           + 0.2 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+           + 0.1 * (1.0 - CASE WHEN length(text) > 0
+                    THEN LEAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / length(text), 1.0)
+                    ELSE 0.0 END)
+           ) * 10000) / 10000"""
+
 
 @_register(
     "t_token_count",
     r"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           """
+    + _TOKENS_LEG_SQL
+    + """ AS n_tokens
     FROM documents
     """,
 )
@@ -1118,18 +1136,11 @@ def t_lang_id(spark, sf_dir):
 
 @_register(
     "t_quality_score",
-    r"""
+    """
     SELECT doc_id,
-           FLOOR((
-             0.4 * LEAST(length(text) / 500.0, 1.0)
-           + 0.3 * (CASE WHEN length(text) > 0
-                    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
-                    ELSE 0.0 END)
-           + 0.2 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
-           + 0.1 * (1.0 - CASE WHEN length(text) > 0
-                    THEN LEAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / length(text), 1.0)
-                    ELSE 0.0 END)
-           ) * 10000) / 10000 AS q
+           """
+    + _QUALITY_LEG_SQL
+    + """ AS q
     FROM documents
     """,
 )
@@ -3980,6 +3991,116 @@ def x_cooccurrence_lift(spark, sf_dir):
     return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, k=50)
 
 
+@_register(
+    "t_token_budget_select",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             """
+    + _QUALITY_LEG_SQL
+    + """ AS q,
+             """
+    + _TOKENS_LEG_SQL
+    + """ AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, q, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, q, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 12000
+    """,
+)
+def t_token_budget_select(spark, sf_dir):
+    """Token-budget corpus selection: best documents by quality until a
+    12k-token budget is spent.  The Spark side runs the two-phase
+    bucket-pruned plan (operators/selection.py — no global single-partition
+    window); the oracle runs the naive global take-while, which the
+    two-phase plan equals exactly."""
+    from imgfact_spark.functions.text import quality_score, token_count
+    from imgfact_spark.operators.selection import select_by_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.floor(quality_score("text", round_to=None) * 10000) / 10000).alias("q"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return select_by_budget(
+        d, score_col="q", tokens_col="n_tokens", id_col="doc_id", budget=12000
+    ).select("doc_id", "q", "n_tokens", "cum_tokens")
+
+
+def _pagerank_oracle(damping: str = "0.85", iterations: int = 3) -> str:
+    """Unrolled fixed-K PageRank as plain SQL: per-node contribution sums
+    fold a src-sorted list sequentially (list_reduce over list(... ORDER BY
+    src)), matching operators/graph.pagerank's deterministic mode bitwise;
+    the damping constants are written as the same double subtraction /
+    multiplication both engines evaluate in IEEE order."""
+    d = f"CAST({damping} AS DOUBLE)"
+    stages = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        stages.append(
+            f"""
+    c{i} AS (
+        SELECT e.dst AS node,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(r.rank / o.od ORDER BY e.src)),
+                   (h, x) -> h + x) AS s
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT nodes.node,
+               (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+               + {d} * COALESCE(c{i}.s, CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        FROM nodes
+    ),{",".join(stages)}
+    SELECT node, rank FROM {prev}
+    """
+
+
+@_register("kg_pagerank", _pagerank_oracle())
+def kg_pagerank(spark, sf_dir):
+    """Engine extension: fixed-K PageRank entity-importance ranking over a
+    KG-shaped edge relation (supplier→part supply edges stand in for the
+    subj→obj triple relation the pipeline materializes; the reference
+    serves that store per-entity — imgfact_api/imgfact.py:33-109 — but
+    ships no graph analytics over it).  Deterministic mode: src-sorted
+    sequential contribution folds, bitwise oracle-replayable."""
+    from imgfact_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, damping=0.85, iterations=3, deterministic=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver sample ordering.  The driver checks the FIRST 50 registered queries
 # each round; every registered query is equally verifiable locally
@@ -4045,7 +4166,9 @@ _DRIVER_SAMPLE_FIRST = [
     # untouched) for the new TF-IDF keyword query
     "t_tfidf_keywords",
     "mm_extract_features",
-    "m6_cluster_representatives",
+    # m6_cluster_representatives rotates out (r4 row fresh through r6, code
+    # untouched) for the new KG PageRank query, which needs a first driver row
+    "kg_pagerank",
     # j9_messy_swap rotates out (r4 row fresh through r6, code untouched)
     # for the new multi-granularity time rollup
     "x_time_rollup",
@@ -4068,7 +4191,9 @@ _DRIVER_SAMPLE_FIRST = [
     # near-copies — takes t_bm25_topk's slot (that r4 row stays fresh
     # through r6) so the changed query gets a current driver row
     "d_cosine_neardup",
-    "t_bm25_multi",
+    # t_bm25_multi rotates out (r4 row fresh through r6, code untouched)
+    # for the new token-budget selection query, which needs a first driver row
+    "t_token_budget_select",
     # t_sample_stratified / t_sample_weighted rotate out (r4 rows fresh
     # through r6, code paths untouched) for this round's two new
     # training-data operators, which need first driver rows
