@@ -4033,6 +4033,71 @@ def t_token_budget_select(spark, sf_dir):
     ).select("doc_id", "q", "n_tokens", "cum_tokens")
 
 
+@_register(
+    "t_dsir_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    raw_bg AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir' || chr(31) || w1 || chr(31) || w2), 1, 15))::BIGINT
+               % 8192 AS bucket
+      FROM (SELECT doc_id, UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+            FROM toks WHERE len(t) >= 2)
+    ),
+    db AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM raw_bg GROUP BY 1, 2
+    ),
+    rb AS (SELECT bucket, CAST(SUM(nb) AS BIGINT) AS cr FROM db GROUP BY 1),
+    tgt_bg AS (
+      SELECT ('0x' || substr(md5('dsir' || chr(31) || w1 || chr(31) || w2), 1, 15))::BIGINT
+               % 8192 AS bucket
+      FROM (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2
+            FROM toks WHERE lang = 'en' AND len(t) >= 2)
+    ),
+    tb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM tgt_bg GROUP BY 1),
+    tr AS (SELECT CAST(SUM(cr) AS BIGINT) AS v FROM rb),
+    tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS v FROM tb),
+    lr AS (
+      SELECT rb.bucket,
+             ln((COALESCE(tb.ct, 0) + CAST(1.0 AS DOUBLE))
+                / (tt.v + CAST(1.0 AS DOUBLE) * 8192))
+           - ln((rb.cr + CAST(1.0 AS DOUBLE))
+                / (tr.v + CAST(1.0 AS DOUBLE) * 8192)) AS lr
+      FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tr CROSS JOIN tt
+    ),
+    fold AS (
+      SELECT db.doc_id,
+             CAST(SUM(nb) AS BIGINT) AS n_features,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(nb * lr ORDER BY db.bucket)),
+               (h, x) -> h + x) AS w
+      FROM db JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(f.n_features, 0) AS BIGINT) AS n_features,
+           COALESCE(FLOOR(f.w * 1e6) / 1e6, CAST(0.0 AS DOUBLE)) AS weight
+    FROM toks t LEFT JOIN fold f USING (doc_id)
+    """,
+)
+def t_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (hashed-bigram log-likelihood ratio vs the
+    English-language target slice) over the corpus — the statistical
+    data-selection scorer (operators/selection.dsir_weights).  md5-bucketed
+    features and bucket-sorted sequential folds make every weight
+    bitwise oracle-replayable."""
+    from imgfact_spark.operators.selection import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        d, "text", "doc_id", target=d.filter(F.col("lang") == "en")
+    )
+
+
 def _pagerank_oracle(damping: str = "0.85", iterations: int = 3) -> str:
     """Unrolled fixed-K PageRank as plain SQL: per-node contribution sums
     fold a src-sorted list sequentially (list_reduce over list(... ORDER BY
@@ -4143,8 +4208,12 @@ _DRIVER_SAMPLE_FIRST = [
     "t_lang_id",
     "t_quality_score",
     # r4 first-timers kept in-sample (rows stay current; mm_extract_features
-    # gains a value-hash oracle this round and must be driver-certified)
-    "st_incremental_kg",
+    # gains a value-hash oracle this round and must be driver-certified).
+    # st_incremental_kg rotates out (r4 row green; its r5 edit was
+    # resource-cleanup only, result pinned by pytest + the local sweep and
+    # the same oracle path stays in-sample via the flagship) for the new
+    # DSIR importance-weight query, which needs a first driver row
+    "t_dsir_weights",
     # api_retrieve_by_relation rotates out (r4 row fresh through r6,
     # untouched) for the components query, which converts the one
     # pytest-only dedup-tier cell to driver-checked

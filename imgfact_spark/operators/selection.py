@@ -41,6 +41,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from imgfact_spark.functions.text import normalized_tokens
+from imgfact_spark.operators.sampling import seeded_key
+from imgfact_spark.operators.util import ensure_parallelism, snapshot
+
 
 def select_by_budget(
     df: DataFrame,
@@ -91,3 +95,117 @@ def select_by_budget(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_bucket", "_cum_before")
     )
+
+
+def _bucketed_bigrams(df: DataFrame, text_col: str, id_col: str, buckets: int):
+    """→ (id, bucket, nb): per-document hashed-bigram bucket counts.
+    Bucket = 60-bit md5 of (w₁, w₂) mod ``buckets`` — the repo's
+    engine-portable hash (sampling.seeded_key), so DuckDB replays it."""
+    toks = normalized_tokens(text_col)
+    tail = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, tail),
+        F.slice(toks, 2, tail),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bg"))
+        .select(
+            "_id",
+            F.pmod(
+                seeded_key("dsir", F.col("bg.w1"), F.col("bg.w2")),
+                F.lit(buckets),
+            ).alias("_bucket"),
+        )
+        .groupBy("_id", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: DataFrame,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed-bigram feature distribution is,
+
+        weight(doc) = Σ_b n_b(doc) · [ ln p̂_t(b) − ln p̂_r(b) ],
+        p̂(b) = (count(b) + α) / (total + α·B)            (add-α smoothing)
+
+    where p̂_t comes from the (small) target corpus and p̂_r from the raw
+    corpus itself.  Downstream, selection samples ∝ exp(weight) — emitting
+    the log-weight keeps the operator overflow-free and lets the caller
+    pick temperature.
+
+    → (id, n_features bigint, weight double); documents with < 2 tokens get
+    (0, 0.0).  ``weight`` is floor-truncated at 1e-6 (display safety; the
+    fold itself is order-pinned).
+
+    Scale shape: two corpus scans (raw, target) reduced to (id, bucket)
+    and (bucket) count relations — shuffles carry hashed ids and counts,
+    never text.  The per-bucket log-ratio relation is exactly B rows
+    (broadcast at the default 8 Ki; a 10⁸-bucket configuration flips to an
+    AQE shuffle join on the bucket key with no code change).  The per-doc
+    sum folds the bucket-sorted contribution array sequentially — the
+    repo's cross-engine bitwise float-sum contract.
+
+    Reference parity: the reference ranks candidates with model scorers
+    (ptuningfilter.py:33-47); DSIR is the corpus-statistical scorer a
+    100 TB pre-filter runs before any model sees a row.
+    """
+    raw = snapshot(_bucketed_bigrams(df, text_col, id_col, buckets))
+    tgt = _bucketed_bigrams(target, text_col, id_col, buckets)
+
+    raw_b = raw.groupBy("_bucket").agg(F.sum("_nb").alias("_cr"))
+    tgt_b = tgt.groupBy("_bucket").agg(F.sum("_nb").alias("_ct"))
+    raw_tot = raw_b.agg(F.sum("_cr").alias("_tr"))
+    tgt_tot = tgt_b.agg(F.sum("_ct").alias("_tt"))
+
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha)) * F.lit(buckets)
+    lr = (
+        raw_b.join(tgt_b, "_bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "_bucket",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + a) / (F.col("_tt") + ab))
+                - F.log((F.col("_cr") + a) / (F.col("_tr") + ab))
+            ).alias("_lr"),
+        )
+    )
+
+    folded = (
+        raw.join(lr, "_bucket")
+        .select("_id", "_bucket", (F.col("_nb") * F.col("_lr")).alias("_c"), "_nb")
+        .groupBy("_id")
+        .agg(
+            F.sum("_nb").alias("n_features"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_bucket", "_c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_c"],
+            ).alias("_w"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(folded, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_features"), F.lit(0).cast("bigint")).alias(
+                "n_features"
+            ),
+            F.coalesce(
+                F.floor(F.col("_w") * 1e6) / 1e6, F.lit(0.0)
+            ).alias("weight"),
+        )
+    )
+
