@@ -41,6 +41,11 @@ Queries:
   * lm_fluency     — bigram-LM perplexity gate: train corpus bigram/unigram
                      counts, score every document's avg smoothed logprob
                      (CCNet-style quality bucketing).
+  * dsir           — DSIR importance weights (hashed-bigram target/raw
+                     log-likelihood ratio vs the English slice) over every
+                     document.
+  * pagerank       — 3-iteration PageRank over the supplier→part edge
+                     relation of lineitem (production native-sum fold).
   * kg_construct_skew — the same pipeline over a hard-skew corpus
                      (skew_prob=0.75: the planted head entity is in ~90% of
                      docs) — the measured cost of the AQE-skew-split/salted
@@ -341,6 +346,41 @@ def main() -> None:
             extras["rollup_cells"] = row["n"]
 
         bench_section("time_rollup", rollup_run)
+
+        def dsir_run():
+            from imgfact_spark.operators.selection import dsir_weights
+
+            w = dsir_weights(
+                d, "text", "doc_id", target=d.filter(F.col("lang") == "en")
+            )
+            # consume weight as exact 1e-6 integers (already floor-truncated)
+            # so Catalyst can't prune the fold from the measured plan
+            row = w.agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("weight") * 1e6).cast("bigint")).alias("s"),
+            ).collect()[0]
+            extras["dsir_docs"] = row["n"]
+            extras["dsir_weight_sum_e6"] = int(row["s"])
+
+        bench_section("dsir", dsir_run)
+
+        def pagerank_run():
+            from imgfact_spark.operators.graph import pagerank
+
+            li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            edges = li_b.select(
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+                F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+            )
+            # production fold (native sums); the deterministic fold is the
+            # oracle path and is driver-checked, not benchmarked
+            ranks = pagerank(edges, iterations=3, deterministic=False)
+            row = ranks.agg(
+                F.count("*").alias("n"), F.sum("rank").alias("s")
+            ).collect()[0]
+            extras["pagerank_nodes"] = row["n"]
+
+        bench_section("pagerank", pagerank_run)
 
         # ------------------------------------------- kg variants: skew + dims
         # hard-skew corpus: 75% of fact draws hit the single-head block ⇒ the

@@ -172,3 +172,37 @@ def test_duplicate_passage_plans(spark):
     assert strip_plan.count("Generate posexplode") == 1
     assert "LeftAnti" in strip_plan and "LeftSemi" in strip_plan
     assert "CartesianProduct" not in strip_plan
+
+
+def test_budget_selection_plan_is_two_phase(spark):
+    """select_by_budget's scale contract: the ONLY single-partition window
+    is the dimension-sized bucket cumulative; the per-document exact window
+    is hash-partitioned on the bucket key; the bucket relation reaches the
+    docs via a broadcast join; nothing cartesian."""
+    from imgfact_spark.operators.selection import select_by_budget
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (F.length("text") / 100.0).alias("q"),
+        F.length("text").alias("n"),
+    )
+    plan = _executed(select_by_budget(d, "q", "n", "doc_id", 10_000))
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(_bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_shape(spark):
+    """dsir_weights' scale contract: no cartesian product — the only
+    nested-loop joins are the two broadcast 1-row total-count fan-ins, and
+    the only single-partition exchanges are those same 1-row aggregates."""
+    from imgfact_spark.operators.selection import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(
+        dsir_weights(docs, "text", "doc_id", docs.filter(F.col("lang") == "en"))
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row totals only
+    assert plan.count("SinglePartition") == 2  # the two 1-row aggregates
