@@ -4098,6 +4098,54 @@ def t_dsir_weights(spark, sf_dir):
     )
 
 
+@_register(
+    "d_winnow_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             ('0x' || substr(md5(array_to_string(t[i.i : i.i + 4], ' ')), 1, 9))::BIGINT AS gh
+      FROM base, UNNEST(range(1, n_tokens - 3)) AS i(i)
+      WHERE n_tokens >= 5
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             gh * 16777216 + (16777215 - pos) AS key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS ng
+      FROM grams
+    ),
+    sel AS (
+      SELECT doc_id, pos, ng,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(selkey // 16777216 AS BIGINT) AS fp,
+           CAST(16777215 - (selkey % 16777216) AS BIGINT) AS pos
+    FROM sel WHERE pos <= GREATEST(ng - 3, 1)
+    """,
+)
+def d_winnow_fingerprints(spark, sf_dir):
+    """Winnowed document fingerprints (Schleimer et al. 2003 — the MOSS
+    selector; operators/dedup.winnow_fingerprints): per 4-window of 5-gram
+    hashes select the min (rightmost on ties) via the integer
+    order-embedding key, guaranteeing shared fingerprints for any
+    duplicate span of >= 8 tokens at ~2/(window+1) of the gram volume.
+    md5 hash mode for the oracle."""
+    from imgfact_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(
+        d, "text", "doc_id", k=5, window=4, hash_mode="md5"
+    )
+
+
 def _pagerank_oracle(damping: str = "0.85", iterations: int = 3) -> str:
     """Unrolled fixed-K PageRank as plain SQL: per-node contribution sums
     fold a src-sorted list sequentially (list_reduce over list(... ORDER BY
@@ -4280,6 +4328,11 @@ _DRIVER_SAMPLE_FIRST = [
     # new this round: executor-side per-partition model-checkpoint scoring (M2)
     "m2_checkpoint_scoring",
 ]
+# r6 front-50 priority: d_winnow_fingerprints registered late in r5 with a
+# full oracle (check_oracles-green) but past the 50-query cut — every
+# front slot is held by a returner whose row would otherwise age past two
+# rounds, a changed query, or an r5 first-timer.  In r6 it takes a slot
+# from the returning r4-keeper set alongside the normal rotation.
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]
 assert not _unknown, f"driver-sample list names unregistered queries: {_unknown}"

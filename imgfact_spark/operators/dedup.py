@@ -562,3 +562,134 @@ def strip_duplicate_passages(
         )
     )
     return untouched.unionByName(rebuilt)
+
+
+# ------------------------------------------------------------- winnowing
+# (Schleimer/Wilkerson/Aiken 2003, "Winnowing: Local Algorithms for
+# Document Fingerprinting" — the MOSS fingerprint selector)
+
+_WINNOW_POS_BITS = 24  # supports documents up to 2^24-1 k-grams
+_WINNOW_M = 1 << _WINNOW_POS_BITS
+
+
+def _narrow_h(col, hash_mode: str, bits: int = 36) -> Column:
+    """Non-negative ``bits``-wide hash (bits % 4 == 0, <= 40): md5 mode
+    takes the hex prefix (``('0x' || substr(md5(x),1,bits/4))::BIGINT`` in
+    DuckDB — engine-portable), xxhash64 mode the top bits (production)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_mode == "xxhash64":
+        return F.shiftrightunsigned(F.xxhash64(c), 64 - bits)
+    return F.conv(F.substring(F.md5(c), 1, bits // 4), 16, 10).cast("bigint")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Winnowed document fingerprints: from every ``window`` consecutive
+    k-gram hashes select the minimum (rightmost on ties — the classic
+    robust-winnowing rule), guaranteeing every duplicate span of length
+    >= k + window - 1 tokens shares at least one selected fingerprint
+    while keeping only ~2/(window+1) of the grams.  Documents with fewer
+    grams than ``window`` select the minimum of what they have; documents
+    with < k tokens emit nothing.
+
+    → (id, fp bigint, pos bigint 1-based gram start), distinct.
+
+    One pass, one shuffle: grams carry (id, pos, 36-bit hash); both the
+    window min and the rightmost-tie rule ride a single integer ROWS
+    window via the order-embedding key ``gh·2²⁴ + (2²⁴−1−pos)`` (min key
+    = min hash, then max pos), so no struct comparisons and no self-join.
+    36-bit hashes keep the key in 60 bits (ANSI-safe); collisions only
+    add candidate pairs (winnowing is a candidate generator — exact
+    verification is ngram_jaccard_pairs' job).  ``hash_mode='md5'`` is the
+    DuckDB-replayable oracle mode.  Position cap: 2²⁴−1 grams per doc
+    (guarded — beyond it the key embedding would corrupt silently)."""
+    from pyspark.sql import Window
+
+    toks = normalized_tokens(text_col)
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    n_grams = F.col("n_tokens") - F.lit(k - 1)
+    gram_arr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams.cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")
+    ).select(
+        F.col(id_col),
+        (F.col("_p0") + 1).cast("long").alias("_pos"),
+        _narrow_h("_gram", hash_mode).alias("_gh"),
+    )
+    # guard the order-embedding: a doc with >= 2^24 grams would wrap
+    guarded_pos = F.when(
+        F.col("_pos") < F.lit(_WINNOW_M),
+        F.col("_pos"),
+    ).otherwise(
+        F.assert_true(
+            F.col("_pos") < F.lit(_WINNOW_M),
+            F.lit(f"winnow_fingerprints: document exceeds {_WINNOW_M - 1} grams"),
+        ).cast("long")
+    )
+    keyed = grams.select(
+        F.col(id_col),
+        "_pos",
+        (
+            F.col("_gh") * F.lit(_WINNOW_M)
+            + (F.lit(_WINNOW_M - 1) - guarded_pos)
+        ).alias("_key"),
+    )
+    w_frame = (
+        Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    )
+    w_doc = Window.partitionBy(id_col)
+    sel = keyed.select(
+        F.col(id_col),
+        "_pos",
+        F.min("_key").over(w_frame).alias("_selkey"),
+        F.count(F.lit(1)).over(w_doc).alias("_ng"),
+    ).filter(F.col("_pos") <= F.greatest(F.col("_ng") - (window - 1), F.lit(1)))
+    return sel.select(
+        F.col(id_col),
+        F.shiftrightunsigned("_selkey", _WINNOW_POS_BITS).alias("fp"),
+        (F.lit(_WINNOW_M - 1) - F.pmod("_selkey", F.lit(_WINNOW_M))).alias("pos"),
+    ).distinct()
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b and >= ``min_shared`` distinct
+    shared fingerprints.  Same bucket-self-join shape as the MinHash/
+    SimHash candidate generators — one snapshot'd fingerprint relation
+    joined to itself on fp, never all-pairs; hub fingerprints (boilerplate
+    selected corpus-wide) ride AQE's skew split, and exact verification
+    downstream is ngram_jaccard_pairs."""
+    fps = snapshot(
+        winnow_fingerprints(df, text_col, id_col, k, window, hash_mode)
+        .select(F.col(id_col).alias("_a"), "fp")
+        .distinct()
+    )
+    return (
+        fps.join(fps.select(F.col("_a").alias("_b"), "fp"), "fp")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy(F.col("_a").alias("id_a"), F.col("_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

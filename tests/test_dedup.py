@@ -284,3 +284,111 @@ def test_strip_duplicate_passages_matches_brute_on_messy_corpus(spark):
         for r in strip_duplicate_passages(df, "text", "doc_id", k=3).collect()
     }
     assert got == _brute_strip(docs, k=3)
+
+
+# --------------------------------------------------------------- winnowing
+
+
+def _brute_winnow(docs, k=5, window=4):
+    """Python twin: md5-36-bit gram hashes, rightmost-min-per-window."""
+    import hashlib
+    import re
+
+    out = {}
+    for did, text in docs.items():
+        t = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        grams = [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:9], 16) for g in grams]
+        sel = set()
+        n = len(hs)
+        if n == 0:
+            out[did] = sel
+            continue
+        for p in range(max(n - window + 1, 1)):
+            frame = hs[p : p + window]
+            m = min(frame)
+            # rightmost occurrence of the min in the frame
+            q = p + max(i for i, h in enumerate(frame) if h == m)
+            sel.add((hs[q], q + 1))  # 1-based gram start
+        out[did] = sel
+    return out
+
+
+WINNOW_DOCS = {
+    1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2: "intro words alpha beta gamma delta epsilon zeta eta theta tail",
+    3: "completely different content with no overlap at all here now",
+    4: "tiny doc",  # < k tokens → no fingerprints
+    5: "alpha beta gamma delta epsilon",  # exactly k tokens → 1 gram
+    6: "alpha beta gamma delta epsilon zeta",  # 2 grams < window
+}
+
+
+def test_winnow_matches_python_twin(spark):
+    from imgfact_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(WINNOW_DOCS.items()), "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", hash_mode="md5").collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+    want = _brute_winnow(WINNOW_DOCS)
+    for did in WINNOW_DOCS:
+        assert got.get(did, set()) == want[did], did
+
+
+def test_winnow_guarantee_shared_span_shares_fingerprint(spark):
+    """The winnowing guarantee: any duplicate span of >= k + window - 1
+    tokens must produce at least one shared (fp) between the two docs."""
+    from imgfact_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(WINNOW_DOCS.items()), "doc_id long, text string")
+    rows = winnow_fingerprints(df, "text", "doc_id", hash_mode="md5").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # docs 1 and 2 share the 8-token span "alpha … theta" (k+window-1 = 8)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_dup_pairs_and_partitioning_invariance(spark):
+    from imgfact_spark.operators.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    df = spark.createDataFrame(list(WINNOW_DOCS.items()), "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_dup_pairs(
+            df, "text", "doc_id", min_shared=1, hash_mode="md5"
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    one = {
+        (r["doc_id"], r["fp"], r["pos"])
+        for r in winnow_fingerprints(
+            df.coalesce(1), "text", "doc_id", hash_mode="md5"
+        ).collect()
+    }
+    many = {
+        (r["doc_id"], r["fp"], r["pos"])
+        for r in winnow_fingerprints(
+            df.repartition(7), "text", "doc_id", hash_mode="md5"
+        ).collect()
+    }
+    assert one == many
+
+
+def test_winnow_production_hash_mode_same_shape(spark):
+    from imgfact_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(WINNOW_DOCS.items()), "doc_id long, text string")
+    rows = winnow_fingerprints(df, "text", "doc_id").collect()  # xxhash64
+    assert all(0 <= r["fp"] < (1 << 36) for r in rows)
+    assert all(r["pos"] >= 1 for r in rows)
+    # selection density: ~2/(window+1) of grams, never more than n_windows
+    by_doc = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    assert 4 not in by_doc  # < k tokens emits nothing
+    assert by_doc[1] >= 1  # long docs always select something

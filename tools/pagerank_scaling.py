@@ -60,18 +60,30 @@ def _build_corpus(spark, rows: int) -> None:
 
 
 def worker(cpus: int) -> None:
+    from pyspark.sql import functions as F
+
     from imgfact_spark.operators.graph import pagerank
     from imgfact_spark.session import get_spark
 
-    spark = get_spark("pagerank-scaling", cpus=cpus)
+    # fixed task granularity across levels (the asof-profile lesson: letting
+    # shuffle partitions scale with cores conflates spill behavior with
+    # parallel efficiency — BENCH/BASELINE.md)
+    spark = get_spark("pagerank-scaling", cpus=cpus, shuffle_partitions=12)
 
     def run(path: str) -> tuple[float, list[int]]:
-        t0 = time.time()
         edges = spark.read.parquet(path)
+        t0 = time.time()
+        # pagerank's eager localCheckpoints do all the work inside the call
         ranks = pagerank(edges, iterations=3, deterministic=False)
-        n_nodes = ranks.count()
-        n_edges = edges.distinct().count()
-        return time.time() - t0, [n_nodes, n_edges]
+        dt = time.time() - t0
+        # identity OUTSIDE the timed window: counting the checkpointed
+        # ranks + an order-free node-set signature are reads of the
+        # materialized result, not part of the operator under test
+        row = ranks.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("node")).alias("sig"),
+        ).collect()[0]
+        return dt, [row["n"], int(row["sig"])]
 
     run(_corpus_path(SMALL_ROWS))  # untimed JVM/JIT/page-cache warm-up
     t_small, id_small = run(_corpus_path(SMALL_ROWS))
