@@ -364,3 +364,35 @@ def gopher_rules(col: Column | str) -> Column:
         n_rules.alias("n_rules"),
         keep.alias("keep"),
     )
+
+
+def split_sentences(col: Column | str) -> Column:
+    """array<string> of trimmed, non-empty sentences: the text is split
+    after sentence-final punctuation ([.!?]) followed by a space.
+
+    Implemented as substitute-then-split (insert \\x1e after the
+    punctuation, split on it) because the natural lookbehind split
+    ``(?<=[.!?]) `` is Java-regex-only — RE2/DuckDB reject lookarounds,
+    and the repo's portability contract (CLAUDE.md) is
+    greedy-classes-plus-backreferences that both engines implement
+    identically.  Map-only column expression — fuses into the scan.
+    Abbreviation dots ("e.g. x") split like any sentence end: this is the
+    cheap length/segment-stats splitter of a corpus pipeline, not an NLP
+    segmenter, and the contract is byte-deterministic over BMP text."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, r"([.!?]) ", "$1\x1e")
+    return F.filter(
+        F.transform(F.split(marked, "\x1e"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def portable_fingerprint(col: Column | str) -> Column:
+    """60-bit md5 content fingerprint of normalized text — the
+    engine-portable twin of ``doc_fingerprint`` (xxhash64): DuckDB computes
+    the identical value as ``('0x' || substr(md5(lower(trim(
+    regexp_replace(text,'\\s+',' ','g')))), 1, 15))::BIGINT``.  Use in
+    oracle-facing dedup stats; production dedup keeps xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    normed = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.conv(F.substring(F.md5(normed), 1, 15), 16, 10).cast("bigint")

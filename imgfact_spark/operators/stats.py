@@ -164,3 +164,54 @@ def zscore_over_counts(
             (c >= min_history) & (varnum > 0), F.floor(z * 1e4) / 1e4
         ).alias("z"),
     )
+
+
+def domain_profile(
+    df: DataFrame,
+    text_col: str,
+    domain_col: str,
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-domain curation profile — the RefinedWeb/FineWeb-style
+    domain-level table a web pipeline gates on before per-document work:
+
+      (domain, n_docs, n_unique_docs, tok_sum, sent_sum[, qsum_e4])
+
+    * ``n_unique_docs`` counts distinct content fingerprints (the
+      engine-portable md5 fingerprint — ``n_docs − n_unique_docs`` is the
+      domain's exact-dup volume, the strongest single spam signal);
+    * ``tok_sum`` / ``sent_sum`` are exact bigint sums of whitespace
+      tokens and sentence segments;
+    * ``qsum_e4`` (when ``quality_col`` is given) sums the quality score
+      as exact 1e-4 integers — order-free, so the mean a consumer derives
+      is bit-stable (a float mean would be partition-order dependent).
+
+    One map-side-combining aggregation on the domain key; the distinct
+    count is two-phase (partial distinct absorbs per-partition repeats —
+    exact-dup pages cluster within crawl partitions).  Head domains ride
+    AQE skew split.  Everything is integer-exact → fully oracle-replayable.
+    """
+    from imgfact_spark.functions.text import (
+        portable_fingerprint,
+        split_sentences,
+        token_count,
+    )
+
+    cols = [
+        F.col(domain_col).alias("domain"),
+        portable_fingerprint(text_col).alias("_fp"),
+        token_count(text_col).cast("bigint").alias("_tok"),
+        F.size(split_sentences(text_col)).cast("bigint").alias("_sent"),
+    ]
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_fp").alias("n_unique_docs"),
+        F.sum("_tok").alias("tok_sum"),
+        F.sum("_sent").alias("sent_sum"),
+    ]
+    if quality_col is not None:
+        cols.append(
+            F.floor(F.col(quality_col) * 10000).cast("bigint").alias("_q")
+        )
+        aggs.append(F.sum("_q").alias("qsum_e4"))
+    return df.select(*cols).groupBy("domain").agg(*aggs)

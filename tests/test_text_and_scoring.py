@@ -297,3 +297,87 @@ def test_model_sim_scorer_partition_deterministic(spark):
             (r.score, r.score_s, r.score_o)
         )
     assert all(len(v) == 1 for v in by_key.values())
+
+
+# ------------------------------------------------------ sentence splitting
+
+
+def _py_sentences(text):
+    import re
+
+    marked = re.sub(r"([.!?]) ", lambda m: m.group(1) + "\x1e", text)
+    return [s.strip() for s in marked.split("\x1e") if s.strip()]
+
+
+def test_split_sentences_matches_python_twin(spark):
+    from imgfact_spark.functions.text import split_sentences
+
+    docs = [
+        (1, "One. Two! Three? Four"),
+        (2, "No split here"),
+        (3, "Trailing dot. "),
+        (4, "a.b no space so no split. end"),
+        (5, "  "),
+        (6, "Multi  spaces. After!  Double gap."),
+        (7, "e.g. abbreviation splits. By design."),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_sentences("text").alias("s")).collect()
+    }
+    for did, text in docs:
+        assert got[did] == _py_sentences(text), (did, got[did])
+
+
+def test_split_sentences_blank_and_lone_punct(spark):
+    from imgfact_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame([(1, ""), (2, ". . ."), (3, "! ")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_sentences("text").alias("s")).collect()
+    }
+    assert got[1] == []
+    assert got[2] == [".", ".", "."]
+    assert got[3] == ["!"]
+
+
+# ------------------------------------------------------- domain profile
+
+
+def test_domain_profile_counts_and_dups(spark):
+    from imgfact_spark.operators.stats import domain_profile
+
+    rows = [
+        ("a", "Hello world. Twice here!"),
+        ("a", "hello   world. twice here!"),  # same fingerprint as row 1
+        ("a", "distinct content entirely"),
+        ("b", "Solo doc. With two sentences."),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        r["domain"]: r.asDict()
+        for r in domain_profile(df, "text", "source").collect()
+    }
+    assert got["a"]["n_docs"] == 3
+    # rows 1+2 normalize (collapse+lower) to the same fingerprint
+    assert got["a"]["n_unique_docs"] == 2
+    assert got["b"]["n_docs"] == got["b"]["n_unique_docs"] == 1
+    assert got["a"]["tok_sum"] == 4 + 4 + 3
+    assert got["a"]["sent_sum"] == 2 + 2 + 1
+    assert got["b"]["sent_sum"] == 2
+    assert "qsum_e4" not in got["a"]  # only with quality_col
+
+
+def test_domain_profile_quality_sum_is_exact_integer(spark):
+    from imgfact_spark.operators.stats import domain_profile
+
+    rows = [("a", "x", 0.12345), ("a", "y", 0.5), ("b", "z", 0.99999)]
+    df = spark.createDataFrame(rows, ["source", "text", "q"])
+    got = {
+        r["domain"]: r["qsum_e4"]
+        for r in domain_profile(df, "text", "source", quality_col="q").collect()
+    }
+    assert got["a"] == 1234 + 5000
+    assert got["b"] == 9999
