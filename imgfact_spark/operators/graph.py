@@ -1,12 +1,14 @@
-"""Fixed-iteration PageRank over the constructed knowledge graph.
+"""Graph analytics over the constructed knowledge graph: fixed-iteration
+PageRank and k-hop neighborhood expansion.
 
 Engine extension (SURVEY.md §2.10-style: the reference materializes the
-triple store and serves per-entity retrievals — imgfact_api/imgfact.py:33-
-109 — but ships no graph analytics over it).  Entity importance ranking is
-the canonical downstream consumer of a KG triple table: rank entities by
-stationary visit probability over the subj→obj edge relation, then use the
-ranks for retrieval ordering, sampling priors, or head-entity skew
-diagnostics.
+triple store and serves per-entity ONE-hop retrievals — imgfact_api/
+imgfact.py:33-109 — but ships no graph analytics over it).  Entity
+importance ranking is the canonical downstream consumer of a KG triple
+table: rank entities by stationary visit probability over the subj→obj
+edge relation, then use the ranks for retrieval ordering, sampling
+priors, or head-entity skew diagnostics.  K-hop expansion generalizes
+the API's per-entity retrieval to bounded-depth subgraph extraction.
 
 Algorithm: power iteration with damping ``d`` for a fixed ``iterations``
 count (fixed-K is the deterministic, oracle-replayable form; convergence
@@ -24,12 +26,15 @@ Scale shape (100 TB KG):
 * edges are pre-joined with out-degrees ONCE and snapshotted; every
   iteration reuses that materialization instead of replaying lineage.
 * each iteration is two shuffles — ranks⋈edges on ``src`` (node-sized ×
-  edge-sized equi-join; AQE picks broadcast only if ranks fit, which at
-  10⁹ nodes it won't — the hash-partitioned join co-locates on src) and
-  groupBy ``dst`` (map-side partial sums in fast mode).  Nothing is
-  node×node; power-law hub entities land on AQE's skew-split path.
-* ``localCheckpoint`` truncates lineage per iteration (O(K) plan growth,
-  not O(K²) replay — same contract as connected_components.py).
+  edge-sized equi-join, shuffle-hash by explicit hint: the only strategy
+  a 10⁹-node rank relation admits, and locally the one with no
+  driver-serial broadcast build) and groupBy ``dst`` (map-side partial
+  sums in fast mode).  Nothing is node×node; power-law hub entities land
+  on AQE's skew-split path.
+* ``localCheckpoint`` fires every ``checkpoint_every`` iterations in
+  production mode (plan-growth control without per-iteration job
+  barriers — each intermediate is referenced exactly once, so fusion
+  replays nothing) and every iteration in oracle mode.
 
 Determinism: in ``deterministic=True`` mode the per-node contribution sum
 folds a src-sorted array SEQUENTIALLY (collect_list → array_sort →
@@ -47,6 +52,50 @@ from pyspark.sql import functions as F
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
 
 
+def _step(
+    nodes: DataFrame,
+    e_w: DataFrame,
+    ranks: DataFrame,
+    base,
+    damping: float,
+    key: str,
+    deterministic: bool,
+) -> DataFrame:
+    """One lazy power-iteration step: contribs join → per-dst sum → rank
+    update left join.  Factored out so tests/test_plans.py can pin the
+    production join strategy (shuffle-hash on the rank side, never a
+    per-iteration driver broadcast build) on the un-materialized plan."""
+    rank_side = ranks.withColumnRenamed(key, "src")
+    if not deterministic:
+        rank_side = rank_side.hint("shuffle_hash")
+    contribs = e_w.join(rank_side, "src").select(
+        "dst", "src", (F.col("rank") / F.col("od")).alias("contrib")
+    )
+    if deterministic:
+        incoming = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("s")
+        )
+    else:
+        incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+    inc_side = incoming.withColumnRenamed("dst", key)
+    if not deterministic:
+        inc_side = inc_side.hint("shuffle_hash")
+    return (
+        nodes.select(F.col("node").alias(key))
+        .join(inc_side, key, "left")
+        .select(
+            key,
+            (
+                base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -54,63 +103,172 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     deterministic: bool = True,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """→ DataFrame(node string, rank double) over distinct (src, dst) edges.
 
     Every node appearing as src or dst gets a row; nodes with no inbound
     edges rank exactly (1−d)/N.  ``deterministic=True`` pins the float
-    fold order (bitwise partitioning-invariant, DuckDB-replayable);
-    ``deterministic=False`` uses native sums (faster at scale, values equal
-    up to associativity).
+    fold order (bitwise partitioning-invariant, DuckDB-replayable) and
+    checkpoints every iteration — the oracle path.
+
+    ``deterministic=False`` is the production path (values equal up to
+    float associativity), shaped by a measured driver-gap diagnosis
+    (BENCH/SCALING_pagerank.json): a per-stage event-log profile showed
+    the per-iteration eager checkpoints and driver-side broadcast builds
+    left ~43% of 4-core wall in BETWEEN-stage serial gaps while the
+    stages themselves packed perfectly.  Three levers close it:
+
+    * **fixed-width keys** — iterates on xxhash64 node ids; the string
+      universe is touched once at each end (names relation built before
+      the loop, rejoined after).  A fail-stop collision check
+      (count == countDistinct(id) on the names relation, one tiny
+      aggregate) makes hashing correct-or-raise, never silently wrong.
+    * **fused iterations** — ``localCheckpoint`` fires only every
+      ``checkpoint_every`` iterations (plan-growth/lineage control for
+      large K), so a K=3 run is ONE AQE query instead of 3 checkpoint
+      barriers + 3 result scans: the driver submits a handful of stages
+      back-to-back instead of ~36 job-gap-job cycles.
+    * **shuffle-hash-hinted rank joins** — at 10⁹ nodes the rank relation
+      can never broadcast, so the local plan uses the same shuffle-hash
+      strategy a cluster must: no per-iteration driver collect+build
+      (which scales with data and is pure serial time), and no
+      sort-merge sort penalty either.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = snapshot(
-        ensure_parallelism(edges)
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-    )
-    nodes = snapshot(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()  # one 1-row-per-partition count, driver scalar
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    if deterministic:
+        e = snapshot(
+            ensure_parallelism(edges)
+            .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+        )
+        nodes = snapshot(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = nodes.count()  # driver scalar (1-row aggregate)
+        key = "node"
+    else:
+        raw = ensure_parallelism(edges).select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        )
+        # one materialization of the node universe: names + hashed ids
+        names = snapshot(
+            raw.select(F.col("s").alias("node"))
+            .union(raw.select(F.col("d").alias("node")))
+            .distinct()
+            .select("node", F.xxhash64("node").alias("_nid"))
+        )
+        stats = names.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("_nid").alias("h")
+        ).collect()[0]
+        if stats["n"] != stats["h"]:
+            raise ValueError(
+                "pagerank: xxhash64 node-id collision detected "
+                f"({stats['n']} nodes, {stats['h']} distinct ids) — "
+                "rerun with deterministic=True (string keys)"
+            )
+        n_nodes = stats["n"]
+        # 16-byte edge rows through the distinct shuffle, not string pairs
+        e = snapshot(
+            raw.select(
+                F.xxhash64("s").alias("src"), F.xxhash64("d").alias("dst")
+            ).distinct()
+        )
+        nodes = names.select(F.col("_nid").alias("node"))
+        key = "_nid"
+
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # pre-divide once per iteration input: (src, dst, od) reused K times
     e_w = snapshot(e.join(outdeg, "src").repartition(F.col("src")))
 
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(n_nodes)
-    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(n_nodes))
+    ranks = nodes.select(F.col("node").alias(key)).withColumn(
+        "rank", F.lit(1.0) / F.lit(n_nodes)
+    )
     ranks = ranks.localCheckpoint(eager=True)
 
-    for _ in range(iterations):
-        contribs = e_w.join(
-            ranks.withColumnRenamed("node", "src"), "src"
-        ).select(
-            "dst", "src", (F.col("rank") / F.col("od")).alias("contrib")
+    for it in range(iterations):
+        ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
+        # lineage/plan-size control: barrier only where plan growth says so
+        # (deterministic mode keeps the every-iteration barrier: the oracle
+        # path values reproducibility of each intermediate over fusion)
+        last = it + 1 == iterations
+        if deterministic or last or (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    if deterministic:
+        return ranks
+    return names.join(ranks.withColumnRenamed(key, "_nid"), "_nid").select(
+        "node", "rank"
+    )
+
+
+def khop_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """→ DataFrame(node, depth int): every node within ``k`` directed hops
+    of any seed, with depth = the MINIMUM hop count (seeds themselves at
+    depth 0, including seeds absent from the edge relation).
+
+    Generalizes the reference API's per-entity one-hop retrieval
+    (imgfact_api/imgfact.py:33-109) to bounded-depth subgraph extraction —
+    the "context neighborhood" query of KG-grounded retrieval.
+
+    Scale shape (100 TB KG): the edge relation is deduplicated and
+    snapshotted ONCE, hash-partitioned on ``src``; each BFS round is one
+    frontier⋈edges equi-join (the frontier is node-sized and shuffle-hash
+    hinted — the edge side never moves, and a 10⁹-node frontier could
+    never broadcast) followed by an anti-join against the visited set.
+    Unlike :func:`pagerank`, rounds are NOT fused: ``visited`` is
+    referenced twice per round (anti-join + union), so an un-materialized
+    chain would replay the whole prefix exponentially — each round
+    snapshots the node-sized visited relation, never the edges.  Rounds
+    whose frontier is empty terminate the loop early (one count on an
+    already-materialized relation).  Depth is partitioning-invariant by
+    construction (min-hop BFS), so there is no deterministic/fast split.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    visited = (
+        seeds.select(F.col(seed_col).cast("string").alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    if k == 0:
+        return visited
+    e = snapshot(
+        ensure_parallelism(edges)
+        .select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
         )
-        if deterministic:
-            incoming = contribs.groupBy("dst").agg(
-                F.aggregate(
-                    F.array_sort(
-                        F.collect_list(F.struct("src", "contrib"))
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["contrib"],
-                ).alias("s")
+        .distinct()
+        .repartition(F.col("src"))
+    )
+    frontier = visited.select("node")
+    for depth in range(1, k + 1):
+        nxt = (
+            e.join(
+                frontier.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
             )
-        else:
-            incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        ranks = (
-            nodes.join(incoming.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    base
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
         )
-    return ranks
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("depth") == depth).select("node")
+        if frontier.limit(1).count() == 0:  # materialized → cheap probe
+            break
+    return visited

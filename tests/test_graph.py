@@ -91,3 +91,71 @@ def test_pagerank_hub_gets_top_rank(spark):
     rows = pagerank(df).collect()
     top = max(rows, key=lambda r: r["rank"])
     assert top["node"] == "h"
+
+
+# ------------------------------------------------------------ k-hop BFS
+
+
+def _py_khop(edges, seeds, k):
+    """Plain-Python min-depth BFS twin."""
+    adj = {}
+    for u, v in set(edges):
+        adj.setdefault(u, []).append(v)
+    depth = {s: 0 for s in set(seeds)}
+    frontier = set(seeds)
+    for d in range(1, k + 1):
+        nxt = {v for u in frontier for v in adj.get(u, []) if v not in depth}
+        for v in nxt:
+            depth[v] = d
+        frontier = nxt
+        if not frontier:
+            break
+    return depth
+
+
+KHOP_EDGES = [
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "d"),
+    ("d", "a"),  # cycle back — revisits must keep min depth
+    ("a", "d"),  # shortcut: d reachable at depth 1 AND 3 → min wins
+    ("x", "y"),  # disconnected component
+]
+
+
+def _khop(spark, seeds, k, edges=KHOP_EDGES):
+    from imgfact_spark.operators.graph import khop_neighborhood
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(v,) for v in seeds], ["node"])
+    got = khop_neighborhood(e, s, k)
+    return {r["node"]: r["depth"] for r in got.collect()}
+
+
+def test_khop_matches_python_twin(spark):
+    for seeds, k in [(["a"], 0), (["a"], 1), (["a"], 2), (["a"], 3),
+                     (["a", "x"], 2), (["c"], 4)]:
+        assert _khop(spark, seeds, k) == _py_khop(KHOP_EDGES, seeds, k), (
+            seeds, k)
+
+
+def test_khop_min_depth_over_multiple_paths(spark):
+    got = _khop(spark, ["a"], 3)
+    assert got["d"] == 1  # via the shortcut, not the depth-3 path
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_khop_isolated_seed_and_early_exit(spark):
+    # seed absent from the edge relation: depth 0, loop exits on the
+    # first empty frontier even though k is much larger
+    got = _khop(spark, ["zzz"], 10)
+    assert got == {"zzz": 0}
+
+
+def test_khop_seed_dedup_and_k_validation(spark):
+    import pytest as _pytest
+
+    got = _khop(spark, ["a", "a", "b"], 1)
+    assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
+    with _pytest.raises(ValueError):
+        _khop(spark, ["a"], -1)

@@ -206,3 +206,28 @@ def test_dsir_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row totals only
     assert plan.count("SinglePartition") == 2  # the two 1-row aggregates
+
+
+def test_pagerank_iteration_joins_are_shuffle_hash(spark):
+    """The production (deterministic=False) PageRank step must never plan a
+    per-iteration broadcast build: at 10⁹ nodes the rank relation cannot
+    broadcast, and locally the driver-side build is pure serial time (the
+    measured between-stage gap of BENCH/SCALING_pagerank.json).  Both the
+    contribs join and the rank-update left join carry shuffle-hash hints;
+    the oracle path (deterministic=True) is exempt — it optimizes for
+    reproducibility, not throughput."""
+    from imgfact_spark.operators.graph import _step
+
+    nodes = spark.range(200).select(F.col("id").alias("node"))
+    e_w = spark.range(2000).select(
+        (F.col("id") % 200).alias("src"),
+        ((F.col("id") * 7) % 200).alias("dst"),
+        F.lit(3).alias("od"),
+    )
+    ranks = nodes.select(F.col("node").alias("_nid"), F.lit(0.005).alias("rank"))
+    step = _step(nodes, e_w, ranks, F.lit(0.00075), 0.85, "_nid", False)
+    step2 = _step(nodes, e_w, step, F.lit(0.00075), 0.85, "_nid", False)
+    plan = _executed(step2)
+    assert plan.count("ShuffledHashJoin") == 4  # 2 joins × 2 chained steps
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -68,7 +68,10 @@ def worker(cpus: int) -> None:
     # fixed task granularity across levels (the asof-profile lesson: letting
     # shuffle partitions scale with cores conflates spill behavior with
     # parallel efficiency — BENCH/BASELINE.md)
-    spark = get_spark("pagerank-scaling", cpus=cpus, shuffle_partitions=12)
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    spark = get_spark(
+        "pagerank-scaling", cpus=cpus, shuffle_partitions=12, extra_conf=extra
+    )
 
     def run(path: str) -> tuple[float, list[int]]:
         edges = spark.read.parquet(path)
@@ -106,6 +109,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", default="1,4")
     ap.add_argument("--worker", type=int, metavar="CPUS")
+    ap.add_argument("--out", default="SCALING_pagerank.json")
     args = ap.parse_args()
     if args.worker:
         worker(args.worker)
@@ -130,7 +134,7 @@ def main() -> None:
         reps=args.reps,
         operator="pagerank(iterations=3, deterministic=False)",
         marginal_docs=BIG_ROWS - SMALL_ROWS,
-        out_json="SCALING_pagerank.json",
+        out_json=args.out,
     )
 
 
