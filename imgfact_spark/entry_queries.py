@@ -1084,7 +1084,7 @@ def f_scalar_pack(spark, sf_dir):
 _TOKENS_LEG_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
-_QUALITY_LEG_SQL = r"""FLOOR((
+_QUALITY_RAW_SQL = r"""(
              0.4 * LEAST(length(text) / 500.0, 1.0)
            + 0.3 * (CASE WHEN length(text) > 0
                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
@@ -1093,7 +1093,9 @@ _QUALITY_LEG_SQL = r"""FLOOR((
            + 0.1 * (1.0 - CASE WHEN length(text) > 0
                     THEN LEAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / length(text), 1.0)
                     ELSE 0.0 END)
-           ) * 10000) / 10000"""
+           )"""
+
+_QUALITY_LEG_SQL = "FLOOR(" + _QUALITY_RAW_SQL + " * 10000) / 10000"
 
 
 @_register(
@@ -4146,6 +4148,77 @@ def d_winnow_fingerprints(spark, sf_dir):
     )
 
 
+@_register(
+    "t_split_sentences",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split(
+                   regexp_replace(text, '([.!?]) ', '\1' || chr(30), 'g'),
+                   chr(30)),
+                 x -> trim(x)),
+               x -> length(x) > 0) AS arr
+      FROM documents
+    )
+    SELECT doc_id, CAST(i.i - 1 AS INT) AS sent_idx, arr[i.i] AS sentence
+    FROM s, UNNEST(range(1, len(arr) + 1)) AS i(i)
+    """,
+)
+def t_split_sentences(spark, sf_dir):
+    """Sentence segmentation (functions/text.split_sentences): substitute-
+    then-split after sentence-final punctuation — the lookaround-free,
+    engine-portable splitter; map-only, fuses into the scan.  One exploded
+    row per non-empty trimmed sentence with its 0-based index."""
+    from imgfact_spark.functions.text import split_sentences
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(split_sentences("text")).alias("sent_idx", "sentence"),
+    )
+
+
+@_register(
+    "t_domain_profile",
+    r"""
+    SELECT source AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT ('0x' || substr(md5(lower(trim(
+                  regexp_replace(text, '\s+', ' ', 'g')))), 1, 15))::BIGINT)
+             AS BIGINT) AS n_unique_docs,
+           CAST(SUM("""
+    + _TOKENS_LEG_SQL
+    + r""") AS BIGINT) AS tok_sum,
+           CAST(SUM(len(list_filter(
+               list_transform(
+                 string_split(
+                   regexp_replace(text, '([.!?]) ', '\1' || chr(30), 'g'),
+                   chr(30)),
+                 x -> trim(x)),
+               x -> length(x) > 0))) AS BIGINT) AS sent_sum,
+           CAST(SUM(CAST(FLOOR("""
+    + _QUALITY_RAW_SQL
+    + """ * 10000) AS BIGINT)) AS BIGINT) AS qsum_e4
+    FROM documents
+    GROUP BY source
+    """,
+)
+def t_domain_profile(spark, sf_dir):
+    """Per-domain curation profile (operators/stats.domain_profile):
+    doc/unique-fingerprint/token/sentence counts and the exact integer
+    quality sum per source — the RefinedWeb-style domain table; one
+    map-side-combining aggregation, everything integer-exact."""
+    from imgfact_spark.functions.text import quality_score
+    from imgfact_spark.operators.stats import domain_profile
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_quality", quality_score("text", round_to=None)
+    )
+    return domain_profile(d, "text", "source", quality_col="_quality")
+
+
 def _pagerank_oracle(damping: str = "0.85", iterations: int = 3) -> str:
     """Unrolled fixed-K PageRank as plain SQL: per-node contribution sums
     fold a src-sorted list sequentially (list_reduce over list(... ORDER BY
@@ -4212,6 +4285,56 @@ def kg_pagerank(spark, sf_dir):
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     )
     return pagerank(edges, damping=0.85, iterations=3, deterministic=True)
+
+
+@_register(
+    "kg_khop",
+    r"""
+    WITH RECURSIVE fw AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM fw UNION SELECT dst, src FROM fw),
+    seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+              FROM supplier WHERE s_suppkey <= 5),
+    walk(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 2
+    )
+    SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
+    """,
+)
+def kg_khop(spark, sf_dir):
+    """Engine extension: k-hop neighborhood expansion
+    (operators/graph.khop_neighborhood) — min-hop BFS depth within k=2
+    hops of the 5 seed suppliers over the BIDIRECTIONAL supplier↔part
+    supply relation (seed supplier → its parts → co-suppliers of those
+    parts), generalizing the reference API's per-entity one-hop retrieval
+    (imgfact_api/imgfact.py:33-109).  The DuckDB twin is a bounded
+    recursive CTE; depth is partitioning-invariant (min over paths), so
+    the query is value-hash exact with no deterministic-mode split."""
+    from imgfact_spark.operators.graph import khop_neighborhood
+
+    li = _t(spark, sf_dir, "lineitem")
+    fw = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    edges = fw.unionByName(
+        fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 5)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+    )
+    return khop_neighborhood(edges, seeds, k=2)
 
 
 # ---------------------------------------------------------------------------
@@ -4328,11 +4451,12 @@ _DRIVER_SAMPLE_FIRST = [
     # new this round: executor-side per-partition model-checkpoint scoring (M2)
     "m2_checkpoint_scoring",
 ]
-# r6 front-50 priority: d_winnow_fingerprints registered late in r5 with a
-# full oracle (check_oracles-green) but past the 50-query cut — every
-# front slot is held by a returner whose row would otherwise age past two
-# rounds, a changed query, or an r5 first-timer.  In r6 it takes a slot
-# from the returning r4-keeper set alongside the normal rotation.
+# r6 front-50 priority: d_winnow_fingerprints, t_split_sentences,
+# t_domain_profile and kg_khop registered late in r5 with full oracles
+# (check_oracles-green) but past the 50-query cut — every front slot is
+# held by a returner whose row would otherwise age past two rounds, a
+# changed query, or an r5 first-timer.  In r6 they take slots from the
+# returning r4-keeper set alongside the normal rotation.
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]
 assert not _unknown, f"driver-sample list names unregistered queries: {_unknown}"
