@@ -379,6 +379,10 @@ def main() -> None:
                 F.count("*").alias("n"), F.sum("rank").alias("s")
             ).collect()[0]
             extras["pagerank_nodes"] = row["n"]
+            # value identity at 1e-6 granularity (float-associativity noise
+            # is ~1e-15 relative — far below this) so a rank corruption that
+            # preserves the node count still surfaces in the JSON line
+            extras["pagerank_rank_sum_e6"] = int(round(row["s"] * 1e6))
 
         bench_section("pagerank", pagerank_run)
 

@@ -1084,16 +1084,20 @@ def f_scalar_pack(spark, sf_dir):
 _TOKENS_LEG_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text), '\s+')) END"""
 
-_QUALITY_RAW_SQL = r"""(
+_QUALITY_RAW_SQL = (
+    r"""(
              0.4 * LEAST(length(text) / 500.0, 1.0)
            + 0.3 * (CASE WHEN length(text) > 0
                     THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
                     ELSE 0.0 END)
-           + 0.2 * LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+           + 0.2 * LEAST(("""
+    + _TOKENS_LEG_SQL
+    + r""") / 100.0, 1.0)
            + 0.1 * (1.0 - CASE WHEN length(text) > 0
                     THEN LEAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 10.0 / length(text), 1.0)
                     ELSE 0.0 END)
            )"""
+)
 
 _QUALITY_LEG_SQL = "FLOOR(" + _QUALITY_RAW_SQL + " * 10000) / 10000"
 
@@ -4100,9 +4104,10 @@ def t_dsir_weights(spark, sf_dir):
     )
 
 
-@_register(
-    "d_winnow_fingerprints",
-    r"""
+# shared oracle leg: the winnowed (doc_id, fp, pos) relation in md5 hash
+# mode — used verbatim by d_winnow_fingerprints and as the input CTE of
+# d_winnow_dup_pairs (factored so the SQL twins can't drift)
+_WINNOW_FPS_SQL = r"""
     WITH toks AS (
       SELECT doc_id,
              string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
@@ -4131,8 +4136,10 @@ def t_dsir_weights(spark, sf_dir):
            CAST(selkey // 16777216 AS BIGINT) AS fp,
            CAST(16777215 - (selkey % 16777216) AS BIGINT) AS pos
     FROM sel WHERE pos <= GREATEST(ng - 3, 1)
-    """,
-)
+    """
+
+
+@_register("d_winnow_fingerprints", _WINNOW_FPS_SQL)
 def d_winnow_fingerprints(spark, sf_dir):
     """Winnowed document fingerprints (Schleimer et al. 2003 — the MOSS
     selector; operators/dedup.winnow_fingerprints): per 4-window of 5-gram
@@ -4145,6 +4152,37 @@ def d_winnow_fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return winnow_fingerprints(
         d, "text", "doc_id", k=5, window=4, hash_mode="md5"
+    )
+
+
+@_register(
+    "d_winnow_dup_pairs",
+    r"""
+    WITH fps AS (
+      SELECT DISTINCT doc_id, fp FROM ("""
+    + _WINNOW_FPS_SQL
+    + r""")
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def d_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing candidate pairs (operators/dedup.winnow_dup_pairs): the
+    fingerprint-bucket self-join over the snapshot'd winnowed relation —
+    (id_a, id_b, n_shared) for ordered pairs sharing >= 2 distinct
+    selected fingerprints.  Same scale shape as the MinHash/SimHash pair
+    generators (never all-pairs; hub fingerprints ride AQE skew split).
+    Non-vacuous on the driver corpus: 25 pairs at sf0.01 from its shared
+    boilerplate passages (verified non-zero, like d_cosine_neardup)."""
+    from imgfact_spark.operators.dedup import winnow_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_dup_pairs(
+        d, "text", "doc_id", k=5, window=4, min_shared=2, hash_mode="md5"
     )
 
 
@@ -4451,8 +4489,9 @@ _DRIVER_SAMPLE_FIRST = [
     # new this round: executor-side per-partition model-checkpoint scoring (M2)
     "m2_checkpoint_scoring",
 ]
-# r6 front-50 priority: d_winnow_fingerprints, t_split_sentences,
-# t_domain_profile and kg_khop registered late in r5 with full oracles
+# r6 front-50 priority: d_winnow_fingerprints, d_winnow_dup_pairs,
+# t_split_sentences, t_domain_profile and kg_khop registered late in r5
+# with full oracles
 # (check_oracles-green) but past the 50-query cut — every front slot is
 # held by a returner whose row would otherwise age past two rounds, a
 # changed query, or an r5 first-timer.  In r6 they take slots from the

@@ -58,10 +58,27 @@ def select_by_budget(
     token sum ≤ ``budget``, plus ``cum_tokens`` (the global running sum,
     bigint).  ``bucket_decimals`` sets the quantization of the bucket
     pre-aggregation (phase 1) — more decimals = smaller boundary buckets =
-    smaller phase-4 window partitions; it never changes the result."""
+    smaller phase-4 window partitions; it never changes the result.
+
+    NULL scores have no place in a (score DESC) total order — a NULL
+    bucket would silently vanish in the bucket equi-join — so the plan
+    carries a per-row fail-stop guard: any NULL ``score_col`` raises at
+    execution instead of dropping the row."""
     scale = F.lit(float(10**bucket_decimals))
+    score_ok = F.assert_true(
+        F.col(score_col).isNotNull(),
+        F.lit(
+            f"select_by_budget: NULL {score_col!r} — score every row "
+            "(or filter NULLs explicitly) before budget selection"
+        ),
+    )
     docs = df.withColumn(
-        "_bucket", F.floor(F.col(score_col) * scale).cast("bigint")
+        "_bucket",
+        # assert_true returns NULL on pass; the when() both forces the
+        # per-row evaluation and keeps the column expression pure
+        F.when(
+            score_ok.isNull(), F.floor(F.col(score_col) * scale)
+        ).cast("bigint"),
     )
     bucket_stats = docs.groupBy("_bucket").agg(
         F.sum(F.col(tokens_col).cast("bigint")).alias("_tok_sum")

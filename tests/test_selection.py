@@ -72,6 +72,18 @@ def test_naive_breaks_not_skips():
     ]
 
 
+def test_null_score_fails_stop_not_silent_drop(spark):
+    """A NULL score would vanish in the bucket equi-join — the operator
+    must raise at execution, never drop the row silently."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [("d01", 0.9, 10), ("d02", None, 20), ("d03", 0.5, 30)]
+    df = spark.createDataFrame(rows, ["id", "score", "toks"])
+    with pytest.raises(SparkRuntimeException, match="select_by_budget"):
+        select_by_budget(df, "score", "toks", "id", 1000).collect()
+
+
 def test_negative_scores_and_bucket_floor(spark):
     rows = [("a", -0.25, 5), ("b", -0.5, 7), ("c", 0.0, 3)]
     assert _got(spark, rows, 15) == _naive(rows, 15)

@@ -381,3 +381,37 @@ def test_domain_profile_quality_sum_is_exact_integer(spark):
     }
     assert got["a"] == 1234 + 5000
     assert got["b"] == 9999
+
+
+def test_quality_leg_sql_twin_blank_text_parity(spark):
+    """The factored _QUALITY_RAW_SQL oracle leg must match Spark
+    quality_score on blank/whitespace-only text too: DuckDB's
+    string_split_regex('') returns [''] (len 1), so the token component
+    needs the same empty-guard as _TOKENS_LEG_SQL (round-5 review
+    finding — this is the drift class the factoring exists to prevent)."""
+    import duckdb
+
+    from imgfact_spark.entry_queries import _QUALITY_RAW_SQL
+    from imgfact_spark.functions.text import quality_score
+
+    texts = ["", "   ", "\t\n ", "hi", "a b. c!", "one. two three"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") AS v(doc_id, text)"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_QUALITY_RAW_SQL} FROM documents"
+        ).fetchall()
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", quality_score("text", round_to=None).alias("q")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == want[i], (repr(t), got[i], want[i])
