@@ -156,16 +156,45 @@ def pagerank(
         raw = ensure_parallelism(edges).select(
             F.col(src).alias("s"), F.col(dst).alias("d")
         )
-        # one materialization of the node universe: names + hashed ids
-        names = snapshot(
-            raw.select(F.col("s").alias("node"))
-            .union(raw.select(F.col("d").alias("node")))
-            .distinct()
-            .select("node", F.xxhash64("node").alias("_nid"))
-        )
-        stats = names.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("_nid").alias("h")
-        ).collect()[0]
+
+        # The two setup materializations are INDEPENDENT jobs — the
+        # node-universe build (names + hashed ids + collision stats) and
+        # the hashed-edge chain (distinct → outdeg ⨝ → repartition on
+        # src).  Submitted concurrently (the concurrent-final-sinks
+        # precedent, pipeline/runner.py): at 1 core this interleaves the
+        # same work; at N cores each job's shuffle waves fill the cores
+        # the other's driver/commit gaps leave idle.
+        def _build_names():
+            names = snapshot(
+                raw.select(F.col("s").alias("node"))
+                .union(raw.select(F.col("d").alias("node")))
+                .distinct()
+                .select("node", F.xxhash64("node").alias("_nid"))
+            )
+            stats = names.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("_nid").alias("h"),
+            ).collect()[0]
+            return names, stats
+
+        def _build_edges():
+            # 16-byte edge rows through the distinct shuffle, not strings
+            e = snapshot(
+                raw.select(
+                    F.xxhash64("s").alias("src"), F.xxhash64("d").alias("dst")
+                ).distinct()
+            )
+            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+            # pre-divide once per iteration: (src, dst, od) reused K times
+            return snapshot(e.join(outdeg, "src").repartition(F.col("src")))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_names = pool.submit(_build_names)
+            f_edges = pool.submit(_build_edges)
+            names, stats = f_names.result()
+            e_w = f_edges.result()
         if stats["n"] != stats["h"]:
             raise ValueError(
                 "pagerank: xxhash64 node-id collision detected "
@@ -173,18 +202,13 @@ def pagerank(
                 "rerun with deterministic=True (string keys)"
             )
         n_nodes = stats["n"]
-        # 16-byte edge rows through the distinct shuffle, not string pairs
-        e = snapshot(
-            raw.select(
-                F.xxhash64("s").alias("src"), F.xxhash64("d").alias("dst")
-            ).distinct()
-        )
         nodes = names.select(F.col("_nid").alias("node"))
         key = "_nid"
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # pre-divide once per iteration input: (src, dst, od) reused K times
-    e_w = snapshot(e.join(outdeg, "src").repartition(F.col("src")))
+    if deterministic:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        # pre-divide once per iteration input: (src, dst, od) reused K times
+        e_w = snapshot(e.join(outdeg, "src").repartition(F.col("src")))
 
     base = (F.lit(1.0) - F.lit(damping)) / F.lit(n_nodes)
     ranks = nodes.select(F.col("node").alias(key)).withColumn(
