@@ -273,3 +273,99 @@ def test_degenerate_inputs(spark):
     # zero-weight rows are never drawn
     picked = sample_weighted(tiny, 100, seed=1, weight_col="weight").collect()
     assert [r.doc_id for r in picked] == [1]
+
+
+# ------------------------------------------------------- inverted index
+
+
+def _py_index(rows, segment_size, min_df=1, seed="idx"):
+    """Plain-Python twin of inverted_index(hash_mode='md5')."""
+    import math as _math
+    from collections import Counter
+
+    tf = Counter()
+    for doc, text in rows:
+        toks = [t for t in " ".join(text.split()).lower().split(" ") if t]
+        for t in toks:
+            tf[(t, str(doc))] += 1
+    df = Counter(t for t, _ in tf)
+    out = {}
+    for (term, doc), n in tf.items():
+        if df[term] < min_df:
+            continue
+        nseg = _math.ceil(df[term] / segment_size)
+        key = int(hashlib.md5(f"{seed}\x1f{doc}".encode()).hexdigest()[:15], 16)
+        out.setdefault((term, df[term], key % nseg), []).append((doc, n))
+    return {
+        k: ",".join(f"{d}:{n}" for d, n in sorted(v)) for k, v in out.items()
+    }
+
+
+IDX_ROWS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "the dog  ate\tthe cat"),
+    ("d3", "  "),  # blank doc: contributes nothing
+    ("d4", "cat cat cat"),
+    ("d5", "unique token here the"),
+]
+
+
+def test_inverted_index_matches_python_twin(spark):
+    from imgfact_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame(IDX_ROWS, ["doc_id", "text"])
+    for seg_size in (1, 2, 100):
+        got = {
+            (r["term"], r["df"], r["segment"]): r["postings"]
+            for r in inverted_index(
+                df, "text", "doc_id", segment_size=seg_size, hash_mode="md5"
+            ).collect()
+        }
+        assert got == _py_index(IDX_ROWS, seg_size), seg_size
+
+
+def test_inverted_index_segmentation_invariants(spark):
+    from imgfact_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame(IDX_ROWS, ["doc_id", "text"])
+
+    def full(seg_size):
+        rows = inverted_index(
+            df, "text", "doc_id", segment_size=seg_size, hash_mode="md5"
+        ).collect()
+        merged = {}
+        for r in rows:
+            merged.setdefault((r["term"], r["df"]), []).extend(
+                r["postings"].split(",")
+            )
+        return {k: sorted(v) for k, v in merged.items()}, rows
+
+    one, rows1 = full(1)
+    big, _ = full(10**6)
+    # the UNION of segment postings is segment-size invariant
+    assert one == big
+    # df equals the total posting count across a term's segments
+    for (term, dfreq), postings in one.items():
+        assert dfreq == len(postings), term
+    # seg_size=1: every segment holds exactly... at most a few hash-
+    # colliding docs; 'the' (df=3) must split across >1 segment
+    the_segs = {r["segment"] for r in rows1 if r["term"] == "the"}
+    assert len(the_segs) > 1
+
+
+def test_inverted_index_min_df_and_modes(spark):
+    from imgfact_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame(IDX_ROWS, ["doc_id", "text"])
+    got = inverted_index(df, "text", "doc_id", min_df=2).collect()
+    assert {r["term"] for r in got} == {"the", "cat"}
+    # production hash mode: same (term, df) totals, different sharding
+    m = {}
+    for r in got:
+        m.setdefault((r["term"], r["df"]), []).extend(r["postings"].split(","))
+    md5 = _py_index(IDX_ROWS, 10000, min_df=2)
+    assert {k[:2] for k in md5} == set(m)
+    with pytest.raises(ValueError):
+        inverted_index(df, "text", "doc_id", segment_size=0)
+    with pytest.raises(ValueError):
+        inverted_index(df, "text", "doc_id", hash_mode="nope")
