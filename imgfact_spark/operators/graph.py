@@ -190,9 +190,18 @@ def pagerank(
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        # inheritable_thread_target propagates the caller's thread-local
+        # Spark properties (job group/tags, scheduler pool) into the pool
+        # threads under pinned-thread mode — a cancelJobGroup()/
+        # cancelJobsWithTag() from a timeout harness must reach the setup
+        # jobs too.  The session-parameterized form also inherits job tags
+        # (the bare form warns and drops them).
+        _inherit = inheritable_thread_target(edges.sparkSession)
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_names = pool.submit(_build_names)
-            f_edges = pool.submit(_build_edges)
+            f_names = pool.submit(_inherit(_build_names))
+            f_edges = pool.submit(_inherit(_build_edges))
             names, stats = f_names.result()
             e_w = f_edges.result()
         if stats["n"] != stats["h"]:

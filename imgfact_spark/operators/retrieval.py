@@ -322,19 +322,27 @@ def inverted_index(
     BM25 above computes tf/df on the fly; this operator persists them as
     the index artifact a serving system loads).
 
-    Scale shape:
-      * one map-side-combining (term, doc) tf aggregation — the only
-        corpus-sized shuffle, carrying (term, doc, count) rows;
-      * global df per term via a second term-keyed aggregation joined
-        back (co-partitioned on the term key — no extra exchange);
+    Scale shape — exactly two exchanges, both on bounded rows:
+      * a map-side-combining (term, doc) tf aggregation (shuffle rows ≤
+        distinct (term, doc) pairs, never token instances);
+      * global df per term via a COUNT window over the tf relation
+        partitioned by term — the same never-a-vocab-join device as
+        :func:`tfidf_keywords` above (one term-keyed exchange; the final
+        (term, df, segment) aggregation reuses that partitioning, so no
+        third exchange and the tf pipeline executes exactly once —
+        a review pass caught the first version's join-back re-running
+        the corpus explode twice);
       * **posting lists are sharded by doc-hash into
         ceil(df / segment_size) segments**, so a stopword's postings
         never funnel into one task or serialize into one row — the
-        per-row and per-task bound is ~``segment_size`` regardless of
-        term skew (hub terms ride the segment fan-out, not AQE mercy);
-      * within a segment, postings sort by doc id and serialize FLAT
-        (``doc:tf``) — deterministic, and the driver-canonicalizable
-        form (nested array/struct cells error there).
+        per-row and per-task bound is ~``segment_size`` in expectation
+        regardless of term skew (hub terms ride the segment fan-out,
+        not AQE mercy);
+      * within a segment, postings sort LEXICOGRAPHICALLY on the
+        stringified doc id and serialize FLAT (``doc:tf``) —
+        deterministic and driver-canonicalizable (nested array/struct
+        cells error there); consumers that need numeric id order must
+        zero-pad ids or re-sort (the contract is string order).
 
     ``hash_mode='md5'`` uses the engine-portable 60-bit md5 key for the
     segment assignment (DuckDB-replayable: ``('0x'||substr(md5(…),1,15))
@@ -357,9 +365,11 @@ def inverted_index(
         .groupBy("term", "_doc")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     if min_df > 1:
-        dfreq = dfreq.filter(F.col("df") >= min_df)
+        withdf = withdf.filter(F.col("df") >= min_df)
     n_seg = F.ceil(F.col("df") / F.lit(float(segment_size))).cast("bigint")
     if hash_mode == "md5":
         key = seeded_key("idx", F.col("_doc"))
@@ -369,8 +379,7 @@ def inverted_index(
     else:
         raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     return (
-        tf.join(dfreq, "term")
-        .withColumn("segment", F.pmod(key, n_seg).cast("int"))
+        withdf.withColumn("segment", F.pmod(key, n_seg).cast("int"))
         .groupBy("term", "df", "segment")
         .agg(
             F.concat_ws(

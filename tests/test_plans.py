@@ -231,3 +231,17 @@ def test_pagerank_iteration_joins_are_shuffle_hash(spark):
     assert plan.count("ShuffledHashJoin") == 4  # 2 joins × 2 chained steps
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_two_exchanges(spark):
+    """inverted_index's scale contract: exactly two hash exchanges — the
+    (term, doc) tf aggregation and ONE term-keyed exchange whose
+    partitioning serves both the df COUNT window and the final
+    (term, df, segment) aggregation.  Pins the review finding that the
+    first version's dfreq join-back executed the corpus explode twice."""
+    from imgfact_spark.operators.retrieval import inverted_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(inverted_index(docs, "text", "doc_id", segment_size=16))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Join" not in plan  # df comes from the window, never a join

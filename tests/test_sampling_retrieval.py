@@ -279,8 +279,9 @@ def test_degenerate_inputs(spark):
 
 
 def _py_index(rows, segment_size, min_df=1, seed="idx"):
-    """Plain-Python twin of inverted_index(hash_mode='md5')."""
-    import math as _math
+    """Plain-Python twin of inverted_index(hash_mode='md5') — the md5 key
+    goes through the SAME _md5key helper as every other sampling twin so
+    the engine-portable hash contract lives in one place."""
     from collections import Counter
 
     tf = Counter()
@@ -293,8 +294,8 @@ def _py_index(rows, segment_size, min_df=1, seed="idx"):
     for (term, doc), n in tf.items():
         if df[term] < min_df:
             continue
-        nseg = _math.ceil(df[term] / segment_size)
-        key = int(hashlib.md5(f"{seed}\x1f{doc}".encode()).hexdigest()[:15], 16)
+        nseg = math.ceil(df[term] / segment_size)
+        key = _md5key(seed, doc)
         out.setdefault((term, df[term], key % nseg), []).append((doc, n))
     return {
         k: ",".join(f"{d}:{n}" for d, n in sorted(v)) for k, v in out.items()
