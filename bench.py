@@ -1,8 +1,13 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line (kept compact — the driver records only the
+last 2,000 bytes of stdout, so the line carries per-section min + median
+and the headline throughput keys only):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+   "queries": {name: sec, ...}, "sf": ..., "median": {...},
+   "throughput": {core keys}}
+The FULL record (reps_detail, every throughput extra) is written to
+BENCH/BENCH_DETAIL_latest.json ($SPARK_GRAFT_BENCH_DETAIL overrides).
 
 Each section runs one UNTIMED warm-up rep (JVM/JIT + page-cache warm-up
 cost 2-4× on first touch — r4 reps_detail showed kg [34.8, 17.3, 8.0] —
@@ -26,7 +31,16 @@ Queries:
   * minhash_dedup  — MinHash signatures + LSH banding over documents.
   * cosine_topk    — brute-force cosine top-10, 50 queries × corpus.
   * lsh_topk       — LSH-bucketed ANN for the same queries.
+  * ivf_topk       — IVF cell-probed ANN for the same queries; recall@10
+                     of both indexes vs brute force rides the detail file
+                     (lsh_recall / ivf_recall).
   * messy_swap     — bucketed cyclic cross-cluster swap over events (J9).
+
+Text-operator sections (bm25 → dsir below) run over a synthesized
+web-shaped corpus (synth.synth_text_corpus, $SPARK_GRAFT_BENCH_TEXT_DOCS
+docs, default 20k): the 5,000-row driver table was fixed-cost dominated
+and failed the Gopher stopword gate corpus-wide (keep-rate 0).
+
   * bm25_topk      — Okapi BM25 top-20 for a 4-term query over documents.
   * sampling       — seeded stratified (1k/lang) + weighted A-Res (1k) samples.
   * text_gates     — PII redaction + repetition ratio over every document
@@ -181,7 +195,23 @@ def main() -> None:
 
         bench_section("salted_agg", salted_run)
 
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # ------------------------------------------------------ text corpus
+        # The driver documents.parquet (5,000 uniform short rows) is
+        # fixed-cost dominated and degenerate for the curation gates (every
+        # doc fails the Gopher stopword rule → keep-rate 0, the r5 verdict
+        # item).  Text-operator sections run over a synthesized web-shaped
+        # corpus instead: realistic length spread, Zipf vocabulary, live
+        # keep/reject mix, dup-passage/PII/lang structure — materialized
+        # once, untimed (input synthesis is scaffolding, not the job).
+        text_docs = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_DOCS", "20000"))
+        text_fp = f"synthtext:7:{text_docs}"
+        text_store = TableStore(os.path.join(tmp, "textcorpus"))
+        d = text_store.write(
+            synth.synth_text_corpus(spark, text_docs, partitions=cpus * 2),
+            "documents",
+            input_fingerprint=text_fp,
+        )
+        extras["text_docs"] = text_docs
 
         def minhash_run():
             from imgfact_spark.operators.dedup import (
@@ -212,9 +242,48 @@ def main() -> None:
         def lsh_run():
             from imgfact_spark.operators.similarity import lsh_topk
 
-            lsh_topk(e, q, dim=64, k=10, n_planes=10, n_tables=4).count()
+            lsh_topk(e, q, dim=64, k=10, n_planes=5, n_tables=8).count()
 
         bench_section("lsh_topk", lsh_run)
+
+        def ivf_run():
+            from imgfact_spark.operators.similarity import ivf_topk
+
+            ivf_topk(e, q, dim=64, k=10, n_cells=32, nprobe=8).count()
+
+        bench_section("ivf_topk", ivf_run)
+
+        # ANN quality (untimed): recall@10 of each approximate index vs the
+        # exact brute-force top-10 over the same 50 queries AND the same
+        # config the wall is measured at — a recall regression must be as
+        # visible per round as a wall regression.  The driver embeddings
+        # are near-random (little neighbor structure), so recall tracks
+        # the candidate fraction here; r6 operating points were chosen
+        # from a measured sweep (planes=5/tables=8 → 0.57, cells=32/
+        # nprobe=8 → 0.65; the r5 wall-only config 10/4 scored 0.13).
+        # Structured-fixture recall is pinned by tests/test_similarity.py.
+        def _ann_recall() -> None:
+            from imgfact_spark.operators.similarity import (
+                brute_force_topk,
+                ivf_topk,
+                lsh_topk,
+            )
+
+            bf = brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+            bf = bf.localCheckpoint(eager=True)
+            denom = bf.count()
+            for label, res in (
+                ("lsh_recall", lsh_topk(e, q, dim=64, k=10, n_planes=5, n_tables=8)),
+                ("ivf_recall", ivf_topk(e, q, dim=64, k=10, n_cells=32, nprobe=8)),
+            ):
+                hits = (
+                    res.select("query_id", "vec_id")
+                    .join(bf, ["query_id", "vec_id"], "left_semi")
+                    .count()
+                )
+                extras[label] = round(hits / denom, 4)
+
+        _ann_recall()
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -233,7 +302,12 @@ def main() -> None:
         def bm25_run():
             from imgfact_spark.operators.retrieval import bm25_topk
 
-            bm25_topk(d, ["spark", "join", "hash", "window"], k=20).count()
+            # terms span the corpus Zipf vocabulary head → tail (rank 1,
+            # 12, 123, 1234): realistic posting-list size skew per term
+            bm25_topk(
+                d, ["enterm00001", "enterm00012", "enterm00123", "enterm01234"],
+                k=20,
+            ).count()
 
         bench_section("bm25_topk", bm25_run)
 
@@ -454,23 +528,65 @@ def main() -> None:
         return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
     medians = {k: _median(v) for k, v in reps_detail.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "imgfact_spark headline suite (KG construct + operators)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "n_docs": n_docs,
-                "reps": reps,
-                "reps_detail": reps_detail,
-                "median": medians,
-                "throughput": extras,
-            }
-        )
+
+    # Full record (reps_detail + every throughput extra) goes to a side
+    # file: the driver keeps only the last 2,000 bytes of stdout, and the
+    # round-5 line outgrew it (BENCH_r05.json "parsed": null — the round
+    # published no machine-readable bench).  stdout gets ONE compact line.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "BENCH_DETAIL_latest.json"),
     )
+    detail = {
+        "metric": "imgfact_spark headline suite (KG construct + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "reps": reps,
+        "reps_detail": reps_detail,
+        "median": medians,
+        "throughput": extras,
+    }
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+        sys.stderr.write(f"bench: detail written to {detail_path}\n")
+    except OSError as exc:  # stdout line must survive an unwritable dir
+        sys.stderr.write(f"bench: detail write failed: {exc}\n")
+
+    # headline throughput only — the handful of numbers BASELINE.md tracks
+    # per round; everything else lives in the detail file
+    core_keys = (
+        "kg_docs_per_sec", "kg_triples_per_sec", "kg_skew_ratio",
+        "kg_shuffle_dims_ratio", "lsh_recall", "ivf_recall",
+        "gopher_keep_docs", "text_docs",
+    )
+    line: dict = {
+        "metric": "imgfact_spark headline suite (KG construct + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "reps": reps,
+        "median": medians,
+        "throughput": {k: extras[k] for k in core_keys if k in extras},
+    }
+    # hard ceiling: the driver's tail capture is 2,000 bytes — degrade by
+    # dropping the redundant sections (median repeats queries' shape;
+    # every dropped field is still in the detail file) before ever letting
+    # the line outgrow the capture again
+    for drop in ("median", "throughput"):
+        if len(json.dumps(line)) > 1900:
+            line.pop(drop, None)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -2888,6 +2888,143 @@ def m2_checkpoint_scoring(spark, sf_dir):
 
 
 @_register(
+    "m1_checkpoint_gate",
+    f"""
+    WITH media AS (
+      SELECT 'c' || CAST(l_orderkey % 97 AS VARCHAR) AS media_s,
+             'p' || CAST(l_partkey % 89 AS VARCHAR) AS media_o,
+             'img/' || CAST(l_orderkey AS VARCHAR) || '/'
+               || CAST(l_linenumber AS VARCHAR) AS media_ref
+      FROM lineitem WHERE l_orderkey <= 3000
+    ),
+    cred AS (
+      SELECT media_s AS entity, media_ref FROM media
+      UNION ALL
+      SELECT media_o AS entity, media_ref FROM media
+    ),
+    ev AS (
+      SELECT entity, CAST(COUNT(DISTINCT media_ref) AS BIGINT) AS n_media
+      FROM cred GROUP BY entity
+    ),
+    scored AS (
+      SELECT entity, n_media,
+             {_M2U.format(expr="'vcc|' || entity")} AS vcc_score
+      FROM ev WHERE n_media >= 5
+    )
+    SELECT entity, n_media, vcc_score FROM scored WHERE vcc_score >= 0.05
+    """,
+)
+def m1_checkpoint_gate(spark, sf_dir):
+    """M1 VCC visual-entity classifier served from an executor-loaded
+    checkpoint (pipeline/entity_filter.visual_entities_checkpoint →
+    model_serving.score_entities_checkpoint): the classifier weights
+    deserialize ONCE per partition in an iterator pandas UDF, then gate
+    every Arrow batch of evidence-qualified entities — the reference's
+    per-DataLoader-worker contract (inference.py:83-119, 160-176).  The
+    md5-mode checkpoint is bit-identical to the deterministic stand-in
+    (visual_entities hash_mode='md5', parity test), so the WHOLE serving
+    path — evidence salted-agg → per-partition load → batch scoring →
+    dual gate — is value-hash certified against DuckDB."""
+    from imgfact_spark.pipeline.entity_filter import visual_entities_checkpoint
+    from imgfact_spark.pipeline.model_serving import default_vcc_checkpoint_path
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 3000)
+    media = li.select(
+        F.concat(F.lit("c"), F.pmod(F.col("l_orderkey"), F.lit(97)).cast("string")).alias("media_s"),
+        F.concat(F.lit("p"), F.pmod(F.col("l_partkey"), F.lit(89)).cast("string")).alias("media_o"),
+        F.concat_ws(
+            "/",
+            F.lit("img"),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("media_ref"),
+    )
+    return visual_entities_checkpoint(
+        media, default_vcc_checkpoint_path("md5"), min_evidence=5,
+        vcc_threshold=0.05,
+    )
+
+
+@_register(
+    "m4_checkpoint_ranking",
+    f"""
+    WITH c AS (
+      SELECT l_orderkey,
+             'c' || CAST(l_orderkey % 97 AS VARCHAR) AS s,
+             'rel' || CAST(l_linenumber % 7 AS VARCHAR) AS p,
+             'p' || CAST(l_partkey % 89 AS VARCHAR) AS o,
+             'img/' || CAST(l_orderkey AS VARCHAR) || '/'
+               || CAST(l_linenumber AS VARCHAR) AS media_ref,
+             l_linenumber = 1 AS is_pos
+      FROM lineitem WHERE l_orderkey <= 2000
+    ),
+    scored AS (
+      SELECT l_orderkey, media_ref, is_pos,
+             {_M2U.format(expr="'cp|' || s || '|' || p || '|' || o || '|' || media_ref")} AS cp_score
+      FROM c
+    ),
+    ranked AS (
+      SELECT l_orderkey, is_pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey ORDER BY cp_score DESC, media_ref
+             ) AS rnk
+      FROM scored
+    )
+    SELECT l_orderkey,
+           CAST(MAX(CASE WHEN is_pos AND rnk <= 5 THEN 1 ELSE 0 END) AS INT)
+             AS label_in_top5
+    FROM ranked GROUP BY l_orderkey
+    """,
+)
+def m4_checkpoint_ranking(spark, sf_dir):
+    """M4 contrastive top-5 ranker served from an executor-loaded
+    dual-encoder checkpoint (model_serving.score_candidates_checkpoint):
+    every (triple-prompt, image) candidate is scored dot(CLS,CLS)-style by
+    weights deserialized once per partition, then the W2 membership gate
+    keeps groups whose positive candidate ranks in the top-5 — the
+    reference's CPgen.py:332-380 scoring + :367-378 argsort gate.  md5-mode
+    candidate scores are DuckDB-replayable, so scoring AND ranking are
+    value-hash certified."""
+    from imgfact_spark.pipeline.model_serving import (
+        default_cp_checkpoint_path,
+        score_candidates_checkpoint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    cands = li.select(
+        "l_orderkey",
+        F.concat(F.lit("c"), F.pmod(F.col("l_orderkey"), F.lit(97)).cast("string")).alias("s"),
+        F.concat(F.lit("rel"), F.pmod(F.col("l_linenumber"), F.lit(7)).cast("string")).alias("p"),
+        F.concat(F.lit("p"), F.pmod(F.col("l_partkey"), F.lit(89)).cast("string")).alias("o"),
+        F.concat_ws(
+            "/",
+            F.lit("img"),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("media_ref"),
+        (F.col("l_linenumber") == 1).alias("is_pos"),
+    )
+    scored = score_candidates_checkpoint(cands, default_cp_checkpoint_path("md5"))
+    # W2 array-native membership gate: sort candidates desc by served
+    # score (media_ref tiebreak), positive-in-top-5 keeps the group
+    cmp = (
+        "(l, r) -> CASE WHEN l.cp_score > r.cp_score THEN -1 "
+        "WHEN l.cp_score < r.cp_score THEN 1 "
+        "WHEN l.media_ref < r.media_ref THEN -1 "
+        "WHEN l.media_ref > r.media_ref THEN 1 ELSE 0 END"
+    )
+    arr = (
+        scored.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("cp_score", "media_ref", "is_pos")).alias("cands"))
+        .withColumn("top5", F.slice(F.expr(f"array_sort(cands, {cmp})"), 1, 5))
+    )
+    return arr.select(
+        "l_orderkey",
+        F.exists("top5", lambda x: x["is_pos"]).cast("int").alias("label_in_top5"),
+    )
+
+
+@_register(
     "m6_cluster_representatives",
     """
     WITH RECURSIVE e AS (
@@ -4423,122 +4560,84 @@ def t_inverted_index(spark, sf_dir):
 # each round; every registered query is equally verifiable locally
 # (tools/check_oracles.py is driver-identical), but the hard evidence is a
 # CORRECTNESS row.  Rotation policy (COVERAGE.md): no query's newest driver
-# row may age past two rounds.  Round 5 completes the r4 rotation in the
-# other direction: the 24 single-operator queries rotated OUT of the r4
-# sample (last driver rows r1-r3) come back IN; the 24 r4 first-timers
-# keep their slots (rows stay current); the flagship never leaves; the 25
-# long-green r4 keepers rotate out (their newest rows are r4 — fresh within
-# the two-round contract through r6), freeing slots for the 24 returning
-# queries plus this round's new query.
+# row may age past two rounds.
+#
+# Round 6 completes the r5 rotation in the other direction: the 50 queries
+# checked in r5 hold rows fresh through r7, so they rotate OUT (except the
+# flagship, which never leaves); their slots go to
+#   * the six late-r5 queries registered past the r5 cut with full oracles
+#     but no driver row yet (the r6-priority set named in the r5 comment),
+#   * this round's two first-timers (M1/M4 checkpoint serving), and
+#   * 41 of the 46 queries whose newest rows are r4 (at the two-round
+#     freshness edge).
+# Five r4-row queries stay out one more round — each is code-untouched and
+# shares its oracle-certified operator path with an in-sample sibling
+# (t_bm25_multi↔t_bm25_topk, a9_weighted_prf↔a9_ranking_metrics,
+# j8b_diff_partner_pop↔j8_theta_diff_partner, api_entity_vocab↔
+# api_retrieve_by_relation, s_quantize_embeddings↔the s_* ANN set) — and
+# they head the r7 front-50.
 # ---------------------------------------------------------------------------
 _DRIVER_SAMPLE_FIRST = [
     # flagship (always in-sample)
     "kg_construct_e2e",
-    # rotated back IN: last driver rows r1-r3, re-verified locally each round
-    "s2_manifest_explode",
-    "s7_json_index_scan",
-    "p2_malformed_filter",
-    "p3_min_image_count",
-    "p5_score_threshold",
-    "p8_blacklist_filter",
-    "p9_normalize_underscore",
-    "p10_strip_parenthetical",
-    "p13_template_fill",
-    "p14_train_vocab_semi",
-    "j1_double_semi_join",
-    "j2_abstract_image_join",
-    "j5_positional_zip_join",
-    "j11_round_robin_modulo",
-    "a1_relation_counts",
-    "a4_distinct_entity_union",
-    "a5_concat_key_dedup",
-    "a7_class_counter_max",
-    "w4_first_per_cluster",
-    "o3_min_count_gate",
-    "f_scalar_pack",
-    "t_token_count",
-    "t_lang_id",
-    "t_quality_score",
-    # r4 first-timers kept in-sample (rows stay current; mm_extract_features
-    # gains a value-hash oracle this round and must be driver-certified).
-    # st_incremental_kg rotates out (r4 row green; its r5 edit was
-    # resource-cleanup only, result pinned by pytest + the local sweep and
-    # the same oracle path stays in-sample via the flagship) for the new
-    # DSIR importance-weight query, which needs a first driver row
-    "t_dsir_weights",
-    # api_retrieve_by_relation rotates out (r4 row fresh through r6,
-    # untouched) for the components query, which converts the one
-    # pytest-only dedup-tier cell to driver-checked
-    "d_dup_components",
-    # api_entity_vocab rotates out (r4 row fresh through r6, code
-    # untouched) for the new SemDeDup query
-    "d_semantic_dedup",
-    # st_windowed_event_counts rotates out (r4 row fresh through r6) for the
-    # new streaming-dedup operator, which needs a first driver row
-    "st_dedup_stream",
-    # kg_construct_triples rotates out (its r4 row is fresh through r6 and
-    # the SAME oracle-certified path stays in-sample via st_incremental_kg
-    # and the flagship) for the new streaming anomaly monitor
-    "st_event_anomaly",
-    # st_sessionization rotates out (r4 row fresh through r6, code
-    # untouched) for the new Gopher rule-gate query
-    "t_gopher_rules",
-    # mm_frame_sample rotates out (r4 row fresh through r6, code
-    # untouched) for the new TF-IDF keyword query
-    "t_tfidf_keywords",
-    "mm_extract_features",
-    # m6_cluster_representatives rotates out (r4 row fresh through r6, code
-    # untouched) for the new KG PageRank query, which needs a first driver row
-    "kg_pagerank",
-    # j9_messy_swap rotates out (r4 row fresh through r6, code untouched)
-    # for the new multi-granularity time rollup
-    "x_time_rollup",
-    # w2_top5_membership / a2_group_collect_scored rotate out for the two
-    # queries new this session (their r4 rows stay fresh through r6)
-    "d_dup_passages",
-    "x_cooccurrence_lift",
-    "ref_fixture_triple_pr",
-    # ep_masked_inputs / ep_split_sets_sizes rotate out (r4 rows fresh
-    # through r6, untouched) for the two new temporal joins
-    "x_asof_join",
-    "x_range_join",
-    # x_multiway_join_rollup rotates out for the strip action (r4 row
-    # fresh through r6)
-    "d_strip_dup_passages",
-    # r_select_results rotates out (r4 row fresh through r6, untouched)
-    # for the new bigram-LM fluency gate
-    "t_lm_fluency",
-    # r5: d_cosine_neardup replaced its vacuous 0-row oracle with planted
-    # near-copies — takes t_bm25_topk's slot (that r4 row stays fresh
-    # through r6) so the changed query gets a current driver row
-    "d_cosine_neardup",
-    # t_bm25_multi rotates out (r4 row fresh through r6, code untouched)
-    # for the new token-budget selection query, which needs a first driver row
-    "t_token_budget_select",
-    # t_sample_stratified / t_sample_weighted rotate out (r4 rows fresh
-    # through r6, code paths untouched) for this round's two new
-    # training-data operators, which need first driver rows
-    "t_sample_mixture",
-    "t_pack_sequences",
-    # t_pii_redact rotates out (r4 row fresh through r6, code untouched)
-    # for the new trailing-window anomaly query
-    "x_event_anomaly",
-    # t_repetition_ratio rotates out (r4 row fresh through r6, code
-    # untouched) for the new fingerprint/BPE-count functions
-    "t_fingerprint_tokens",
-    # t_corpus_length_profile rotates out (r4 row fresh through r6, code
-    # untouched) for the new context-window chunking query
-    "t_chunk_documents",
-    # new this round: executor-side per-partition model-checkpoint scoring (M2)
-    "m2_checkpoint_scoring",
+    # the six r6-priority queries: registered late in r5, check_oracles-green
+    # but never driver-checked — first rows this round
+    "d_winnow_fingerprints",
+    "d_winnow_dup_pairs",
+    "t_split_sentences",
+    "t_domain_profile",
+    "kg_khop",
+    "t_inverted_index",
+    # new this round: M1 VCC gate + M4 contrastive ranker served from
+    # executor-loaded checkpoints (the m2_checkpoint_scoring pattern)
+    "m1_checkpoint_gate",
+    "m4_checkpoint_ranking",
+    # rotated back IN: newest driver rows are r4 (freshness edge)
+    "a12_filter_intersection",
+    "a13_union_shard_partials",
+    "a2_group_collect_scored",
+    "a6_vector_mean_pool",
+    "a8_oversample_balance",
+    "a9_ranking_metrics",
+    "api_retrieve_by_relation",
+    "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_simhash_pairs",
+    "ep_masked_inputs",
+    "ep_split_sets_sizes",
+    "j3_visual_ratio",
+    "j7_first_seen_label_ids",
+    "j8_theta_diff_partner",
+    "j9_messy_swap",
+    "kg_construct_triples",
+    "m6_cluster_representatives",
+    "mm_frame_sample",
+    "o4_sample_per_group",
+    "p6_dual_threshold",
+    "r_select_results",
+    "s5_json_roundtrip",
+    "s_cosine_topk",
+    "s_ivf_topk",
+    "s_lsh_topk",
+    "st_incremental_kg",
+    "st_sessionization",
+    "st_windowed_event_counts",
+    "t_bm25_topk",
+    "t_contamination",
+    "t_corpus_length_profile",
+    "t_exact_dedup_groups",
+    "t_ngram_topk",
+    "t_pii_redact",
+    "t_repetition_ratio",
+    "t_sample_stratified",
+    "t_sample_weighted",
+    "w1_topk_per_group",
+    "w2_top5_membership",
+    "x_multiway_join_rollup",
 ]
-# r6 front-50 priority: d_winnow_fingerprints, d_winnow_dup_pairs,
-# t_split_sentences, t_domain_profile, kg_khop and t_inverted_index
-# registered late in r5 with full oracles
-# (check_oracles-green) but past the 50-query cut — every front slot is
-# held by a returner whose row would otherwise age past two rounds, a
-# changed query, or an r5 first-timer.  In r6 they take slots from the
-# returning r4-keeper set alongside the normal rotation.
+# r7 front-50 priority: t_bm25_multi, a9_weighted_prf, j8b_diff_partner_pop,
+# api_entity_vocab, s_quantize_embeddings (newest rows r4 — refresh first),
+# then the r5-checked set ages to its own two-round edge.
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]
 assert not _unknown, f"driver-sample list names unregistered queries: {_unknown}"

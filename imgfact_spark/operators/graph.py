@@ -104,6 +104,8 @@ def pagerank(
     iterations: int = 3,
     deterministic: bool = True,
     checkpoint_every: int = 4,
+    tol: "float | None" = None,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """→ DataFrame(node string, rank double) over distinct (src, dst) edges.
 
@@ -111,6 +113,26 @@ def pagerank(
     edges rank exactly (1−d)/N.  ``deterministic=True`` pins the float
     fold order (bitwise partitioning-invariant, DuckDB-replayable) and
     checkpoints every iteration — the oracle path.
+
+    ``tol``: optional L1 convergence early stop — at each checkpoint
+    barrier (where both the current and previous rank relations are
+    already materialized) one node-sized equi-join + aggregate computes
+    Σ|rankₜ − rankₜ₋ₓ| and the loop exits once it drops below ``tol``,
+    the same cheap-probe-on-materialized-state shape as
+    :func:`khop_neighborhood`'s empty-frontier exit.  At 100× scale a
+    fixed K either overpays (converged long ago) or under-converges;
+    ``tol`` bounds both at one tiny agg per barrier.  The delta is summed
+    in EXACT integers (floor(|Δ|·1e9) per node, ≤1e9 each — no bigint
+    overflow below 9·10⁹ nodes), so the stop decision is partitioning-
+    invariant: resolution 1e-9, i.e. ``tol`` below 1e-9 never stops early.
+    Note the delta spans the WHOLE barrier window (x = checkpoint_every
+    iterations in production mode), so a stopped run is exactly
+    equivalent to ``pagerank(iterations=stats["iterations_run"])`` —
+    pinned by tests/test_graph.py.
+
+    ``stats`` (optional dict) is filled with ``iterations_run`` and
+    ``final_delta_e9`` for observability and the fixed-K equivalence
+    tests.
 
     ``deterministic=False`` is the production path (values equal up to
     float associativity), shaped by a measured driver-gap diagnosis
@@ -171,11 +193,11 @@ def pagerank(
                 .distinct()
                 .select("node", F.xxhash64("node").alias("_nid"))
             )
-            stats = names.agg(
+            id_stats = names.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct("_nid").alias("h"),
             ).collect()[0]
-            return names, stats
+            return names, id_stats
 
         def _build_edges():
             # 16-byte edge rows through the distinct shuffle, not strings
@@ -202,15 +224,15 @@ def pagerank(
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_names = pool.submit(_inherit(_build_names))
             f_edges = pool.submit(_inherit(_build_edges))
-            names, stats = f_names.result()
+            names, id_stats = f_names.result()
             e_w = f_edges.result()
-        if stats["n"] != stats["h"]:
+        if id_stats["n"] != id_stats["h"]:
             raise ValueError(
                 "pagerank: xxhash64 node-id collision detected "
-                f"({stats['n']} nodes, {stats['h']} distinct ids) — "
+                f"({id_stats['n']} nodes, {id_stats['h']} distinct ids) — "
                 "rerun with deterministic=True (string keys)"
             )
-        n_nodes = stats["n"]
+        n_nodes = id_stats["n"]
         nodes = names.select(F.col("_nid").alias("node"))
         key = "_nid"
 
@@ -225,6 +247,9 @@ def pagerank(
     )
     ranks = ranks.localCheckpoint(eager=True)
 
+    prev = ranks  # last materialized barrier state (tol probes only)
+    iterations_run = iterations
+    final_delta = None
     for it in range(iterations):
         ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
         # lineage/plan-size control: barrier only where plan growth says so
@@ -233,6 +258,31 @@ def pagerank(
         last = it + 1 == iterations
         if deterministic or last or (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+            if tol is not None and not last:
+                # both sides materialized → one node-sized join + tiny agg;
+                # integer-exact terms make the stop partitioning-invariant
+                prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})
+                if not deterministic:
+                    prev_side = prev_side.hint("shuffle_hash")
+                final_delta = (
+                    ranks.join(prev_side, key)
+                    .agg(
+                        F.sum(
+                            F.floor(
+                                F.abs(F.col("rank") - F.col("_rank_prev"))
+                                * F.lit(1e9)
+                            ).cast("bigint")
+                        ).alias("d")
+                    )
+                    .collect()[0]["d"]
+                )
+                if final_delta < tol * 1e9:
+                    iterations_run = it + 1
+                    break
+            prev = ranks
+    if stats is not None:
+        stats["iterations_run"] = iterations_run
+        stats["final_delta_e9"] = final_delta
     if deterministic:
         return ranks
     return names.join(ranks.withColumnRenamed(key, "_nid"), "_nid").select(

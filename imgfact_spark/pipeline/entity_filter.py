@@ -62,6 +62,33 @@ def visual_entities(
     )
 
 
+def visual_entities_checkpoint(
+    media: DataFrame,
+    checkpoint_path: str,
+    min_evidence: int = 10,
+    vcc_threshold: float = 0.05,
+    load_marker_dir: "str | None" = None,
+) -> DataFrame:
+    """:func:`visual_entities` with the VCC classifier served from an
+    executor-loaded checkpoint (pipeline/model_serving.py) instead of the
+    closed-over stand-in — the path a user bringing real VCC weights swaps
+    into (reference inference.py:83-119 loads the BERT+VGG16 state dict per
+    DataLoader worker; here the .npz deserializes once per partition).
+
+    md5-mode checkpoints score bit-identically to
+    ``visual_entities(hash_mode="md5")`` (parity-pinned), so the gate
+    decisions are a pure refactor of where the weights live.
+    → (entity, n_media, vcc_score)
+    """
+    from imgfact_spark.pipeline.model_serving import score_entities_checkpoint
+
+    ev = entity_evidence(media).filter(F.col("n_media") >= min_evidence)
+    scored = score_entities_checkpoint(
+        ev, checkpoint_path, load_marker_dir=load_marker_dir
+    )
+    return scored.filter(F.col("vcc_score") >= vcc_threshold)
+
+
 def filter_visual_triples(
     candidates: DataFrame, visual: DataFrame, broadcast_dim: bool = True
 ) -> DataFrame:

@@ -230,3 +230,77 @@ def test_pipeline_lsh_alias_mode_runs(spark, tmp_path):
     a = sorted(map(tuple, base.kg_triples.select("s", "p", "o").collect()))
     b = sorted(map(tuple, lsh.kg_triples.select("s", "p", "o").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# decoder injection: a REAL format (binary PPM) through the same plumbing
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(w: int, h: int, seed: int) -> bytes:
+    import numpy as np
+
+    raster = np.random.RandomState(seed).randint(
+        0, 256, size=w * h * 3, dtype=np.uint16
+    ).astype(np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def test_decode_ppm_roundtrip_and_corruption():
+    import numpy as np
+    import pytest
+
+    from imgfact_spark.multimodal import decode_ppm
+
+    payload = _ppm_bytes(5, 3, seed=1)
+    img = decode_ppm(payload)
+    assert img.shape == (3, 5, 3) and img.dtype == np.uint8
+    assert img.tobytes() == payload[-45:]
+    for bad in (None, b"JFIF....", payload[:-1], b"P6\n5 3\n70000\n" + b"x" * 45):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_extract_features_with_injected_ppm_decoder(spark):
+    """A caller-supplied REAL decoder (pure-numpy PPM) runs end-to-end
+    through the same mapInPandas plumbing, matching a driver-side numpy
+    twin of decode→fit→project — the Pillow swap point, proven without
+    Pillow."""
+    import numpy as np
+
+    from imgfact_spark.multimodal import (
+        MEDIA_SCHEMA,
+        _to_model_input,
+        decode_ppm,
+        extract_features,
+    )
+
+    rows = [
+        (f"ppm/{i}", "image", _ppm_bytes(16 + i, 12 + i, seed=i),
+         {"width": 16 + i, "height": 12 + i, "n_frames": 1, "sample_rate": 0})
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_ref"]: np.array(r["features"], dtype="float32")
+        for r in extract_features(media, dim=16, decode_fn=decode_ppm).collect()
+    }
+    planes = np.random.RandomState(42).standard_normal((8 * 8 * 3, 16))
+    for ref, _, payload, _ in rows:
+        fit = _to_model_input(decode_ppm(payload))
+        assert fit.shape == (8, 8, 3)
+        want = (fit.reshape(-1).astype("float64") / 255.0) @ planes
+        assert np.allclose(got[ref], want.astype("float32"), rtol=1e-6)
+
+
+def test_stub_decode_passthrough_unchanged(spark):
+    """The 8×8×3 stub output passes _to_model_input byte-identically, so
+    injecting nothing keeps the md5-oracle features bit-for-bit (the
+    mm_extract_features driver contract)."""
+    import numpy as np
+
+    from imgfact_spark.multimodal import _stub_decode, _to_model_input
+
+    payload = b"0123456789abcdef" * 8
+    img = _stub_decode(payload)
+    assert _to_model_input(img).tobytes() == img.tobytes()

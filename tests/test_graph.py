@@ -159,3 +159,56 @@ def test_khop_seed_dedup_and_k_validation(spark):
     assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
     with _pytest.raises(ValueError):
         _khop(spark, ["a"], -1)
+
+
+# ---------------------------------------------------------------------------
+# tol convergence early stop
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_tol_early_stop_equals_fixed_k(spark):
+    """A tol-stopped run is bitwise identical to the fixed-K run at the
+    recorded stop count, and tol=None keeps today's behavior untouched."""
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    stats: dict = {}
+    stopped = pagerank(e, iterations=40, tol=1e-6, stats=stats)
+    assert 1 <= stats["iterations_run"] < 40  # genuinely stopped early
+    assert stats["final_delta_e9"] is not None
+    assert stats["final_delta_e9"] < 1e-6 * 1e9
+    fixed = pagerank(e, iterations=stats["iterations_run"])
+    got = {r["node"]: r["rank"] for r in stopped.collect()}
+    want = {r["node"]: r["rank"] for r in fixed.collect()}
+    assert got == want  # bitwise: same steps, barriers are value-neutral
+
+
+def test_pagerank_tol_none_and_tiny_tol_run_all_iterations(spark):
+    """tol below the 1e-9 delta resolution never stops early; the result
+    matches the tol-free run bitwise."""
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    stats: dict = {}
+    full = pagerank(e, iterations=5)
+    tiny = pagerank(e, iterations=5, tol=1e-12, stats=stats)
+    assert stats["iterations_run"] == 5
+    assert {r["node"]: r["rank"] for r in tiny.collect()} == {
+        r["node"]: r["rank"] for r in full.collect()
+    }
+
+
+def test_pagerank_tol_fast_mode_stops_at_barriers_only(spark):
+    """Production mode probes convergence only at checkpoint barriers: with
+    checkpoint_every=4 the stop count is a multiple of 4 (or the final
+    iteration), and the stopped ranks match the fixed-K fast run."""
+    e = spark.createDataFrame(EDGES, ["src", "dst"])
+    stats: dict = {}
+    stopped = pagerank(
+        e, iterations=40, tol=1e-6, stats=stats, deterministic=False,
+        checkpoint_every=4,
+    )
+    k = stats["iterations_run"]
+    assert k < 40 and k % 4 == 0
+    fixed = pagerank(e, iterations=k, deterministic=False, checkpoint_every=4)
+    got = {r["node"]: r["rank"] for r in stopped.collect()}
+    want = {r["node"]: r["rank"] for r in fixed.collect()}
+    assert got.keys() == want.keys()
+    for n in got:
+        assert got[n] == pytest.approx(want[n], rel=1e-12)
