@@ -161,133 +161,158 @@ def pagerank(
         raise ValueError("iterations must be >= 1")
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
-    if deterministic:
-        e = snapshot(
-            ensure_parallelism(edges)
-            .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .distinct()
-        )
-        nodes = snapshot(
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        n_nodes = nodes.count()  # driver scalar (1-row aggregate)
-        key = "node"
-    else:
-        raw = ensure_parallelism(edges).select(
-            F.col(src).alias("s"), F.col(dst).alias("d")
-        )
 
-        # The two setup materializations are INDEPENDENT jobs — the
-        # node-universe build (names + hashed ids + collision stats) and
-        # the hashed-edge chain (distinct → outdeg ⨝ → repartition on
-        # src).  Submitted concurrently (the concurrent-final-sinks
-        # precedent, pipeline/runner.py): at 1 core this interleaves the
-        # same work; at N cores each job's shuffle waves fill the cores
-        # the other's driver/commit gaps leave idle.
-        def _build_names():
-            names = snapshot(
-                raw.select(F.col("s").alias("node"))
-                .union(raw.select(F.col("d").alias("node")))
-                .distinct()
-                .select("node", F.xxhash64("node").alias("_nid"))
-            )
-            id_stats = names.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("_nid").alias("h"),
-            ).collect()[0]
-            return names, id_stats
-
-        def _build_edges():
-            # 16-byte edge rows through the distinct shuffle, not strings
+    # Scoped AQE override, measured r6 (BENCH/SCALING_pagerank r6 A/B):
+    # at bench/SF scale the per-iteration shuffles are tiny, and AQE's
+    # partition coalescing merges them BELOW the core count — serializing
+    # every reducer wave.  Disabling it for this operator's jobs raised
+    # 1-core throughput 115.5k→130.1k and 4-core 318.8k→390.4k edges/s
+    # (median 1→4-core pair efficiency 0.69→0.765) — faster at BOTH
+    # levels, so not ratio-gaming.  At production partition sizes (100s
+    # of MB) the coalesce min-size threshold never triggers, so the
+    # override is local-scale protection, not a cluster-behavior change.
+    # Restored in the finally (the fast-mode name rejoin executes lazily
+    # after restore — a plain big join where coalescing is harmless).
+    _COALESCE = "spark.sql.adaptive.coalescePartitions.enabled"
+    sess = edges.sparkSession
+    prev_coalesce = sess.conf.get(_COALESCE, None) if not deterministic else None
+    if not deterministic:
+        sess.conf.set(_COALESCE, "false")
+    try:
+        if deterministic:
             e = snapshot(
-                raw.select(
-                    F.xxhash64("s").alias("src"), F.xxhash64("d").alias("dst")
-                ).distinct()
+                ensure_parallelism(edges)
+                .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+                .distinct()
             )
-            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-            # pre-divide once per iteration: (src, dst, od) reused K times
-            return snapshot(e.join(outdeg, "src").repartition(F.col("src")))
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        from pyspark import inheritable_thread_target
-
-        # inheritable_thread_target propagates the caller's thread-local
-        # Spark properties (job group/tags, scheduler pool) into the pool
-        # threads under pinned-thread mode — a cancelJobGroup()/
-        # cancelJobsWithTag() from a timeout harness must reach the setup
-        # jobs too.  The session-parameterized form also inherits job tags
-        # (the bare form warns and drops them).
-        _inherit = inheritable_thread_target(edges.sparkSession)
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_names = pool.submit(_inherit(_build_names))
-            f_edges = pool.submit(_inherit(_build_edges))
-            names, id_stats = f_names.result()
-            e_w = f_edges.result()
-        if id_stats["n"] != id_stats["h"]:
-            raise ValueError(
-                "pagerank: xxhash64 node-id collision detected "
-                f"({id_stats['n']} nodes, {id_stats['h']} distinct ids) — "
-                "rerun with deterministic=True (string keys)"
+            nodes = snapshot(
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
             )
-        n_nodes = id_stats["n"]
-        nodes = names.select(F.col("_nid").alias("node"))
-        key = "_nid"
+            n_nodes = nodes.count()  # driver scalar (1-row aggregate)
+            key = "node"
+        else:
+            raw = ensure_parallelism(edges).select(
+                F.col(src).alias("s"), F.col(dst).alias("d")
+            )
 
-    if deterministic:
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-        # pre-divide once per iteration input: (src, dst, od) reused K times
-        e_w = snapshot(e.join(outdeg, "src").repartition(F.col("src")))
-
-    base = (F.lit(1.0) - F.lit(damping)) / F.lit(n_nodes)
-    ranks = nodes.select(F.col("node").alias(key)).withColumn(
-        "rank", F.lit(1.0) / F.lit(n_nodes)
-    )
-    ranks = ranks.localCheckpoint(eager=True)
-
-    prev = ranks  # last materialized barrier state (tol probes only)
-    iterations_run = iterations
-    final_delta = None
-    for it in range(iterations):
-        ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
-        # lineage/plan-size control: barrier only where plan growth says so
-        # (deterministic mode keeps the every-iteration barrier: the oracle
-        # path values reproducibility of each intermediate over fusion)
-        last = it + 1 == iterations
-        if deterministic or last or (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-            if tol is not None and not last:
-                # both sides materialized → one node-sized join + tiny agg;
-                # integer-exact terms make the stop partitioning-invariant
-                prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})
-                if not deterministic:
-                    prev_side = prev_side.hint("shuffle_hash")
-                final_delta = (
-                    ranks.join(prev_side, key)
-                    .agg(
-                        F.sum(
-                            F.floor(
-                                F.abs(F.col("rank") - F.col("_rank_prev"))
-                                * F.lit(1e9)
-                            ).cast("bigint")
-                        ).alias("d")
-                    )
-                    .collect()[0]["d"]
+            # The two setup materializations are INDEPENDENT jobs — the
+            # node-universe build (names + hashed ids + collision stats) and
+            # the hashed-edge chain (distinct → outdeg ⨝ → repartition on
+            # src).  Submitted concurrently (the concurrent-final-sinks
+            # precedent, pipeline/runner.py): at 1 core this interleaves the
+            # same work; at N cores each job's shuffle waves fill the cores
+            # the other's driver/commit gaps leave idle.
+            def _build_names():
+                names = snapshot(
+                    raw.select(F.col("s").alias("node"))
+                    .union(raw.select(F.col("d").alias("node")))
+                    .distinct()
+                    .select("node", F.xxhash64("node").alias("_nid"))
                 )
-                if final_delta < tol * 1e9:
-                    iterations_run = it + 1
-                    break
-            prev = ranks
-    if stats is not None:
-        stats["iterations_run"] = iterations_run
-        stats["final_delta_e9"] = final_delta
-    if deterministic:
-        return ranks
-    return names.join(ranks.withColumnRenamed(key, "_nid"), "_nid").select(
-        "node", "rank"
-    )
+                id_stats = names.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("_nid").alias("h"),
+                ).collect()[0]
+                return names, id_stats
+
+            def _build_edges():
+                # 16-byte edge rows through the distinct shuffle, not strings
+                e = snapshot(
+                    raw.select(
+                        F.xxhash64("s").alias("src"), F.xxhash64("d").alias("dst")
+                    ).distinct()
+                )
+                outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+                # pre-divide once per iteration: (src, dst, od) reused K times
+                return snapshot(e.join(outdeg, "src").repartition(F.col("src")))
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            # inheritable_thread_target propagates the caller's thread-local
+            # Spark properties (job group/tags, scheduler pool) into the pool
+            # threads under pinned-thread mode — a cancelJobGroup()/
+            # cancelJobsWithTag() from a timeout harness must reach the setup
+            # jobs too.  The session-parameterized form also inherits job tags
+            # (the bare form warns and drops them).
+            _inherit = inheritable_thread_target(edges.sparkSession)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_names = pool.submit(_inherit(_build_names))
+                f_edges = pool.submit(_inherit(_build_edges))
+                names, id_stats = f_names.result()
+                e_w = f_edges.result()
+            if id_stats["n"] != id_stats["h"]:
+                raise ValueError(
+                    "pagerank: xxhash64 node-id collision detected "
+                    f"({id_stats['n']} nodes, {id_stats['h']} distinct ids) — "
+                    "rerun with deterministic=True (string keys)"
+                )
+            n_nodes = id_stats["n"]
+            nodes = names.select(F.col("_nid").alias("node"))
+            key = "_nid"
+
+        if deterministic:
+            outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+            # pre-divide once per iteration input: (src, dst, od) reused K times
+            e_w = snapshot(e.join(outdeg, "src").repartition(F.col("src")))
+
+        base = (F.lit(1.0) - F.lit(damping)) / F.lit(n_nodes)
+        ranks = nodes.select(F.col("node").alias(key)).withColumn(
+            "rank", F.lit(1.0) / F.lit(n_nodes)
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+
+        prev = ranks  # last materialized barrier state (tol probes only)
+        iterations_run = iterations
+        final_delta = None
+        for it in range(iterations):
+            ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
+            # lineage/plan-size control: barrier only where plan growth says so
+            # (deterministic mode keeps the every-iteration barrier: the oracle
+            # path values reproducibility of each intermediate over fusion)
+            last = it + 1 == iterations
+            if deterministic or last or (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                if tol is not None and not last:
+                    # both sides materialized → one node-sized join + tiny agg;
+                    # integer-exact terms make the stop partitioning-invariant
+                    prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})
+                    if not deterministic:
+                        prev_side = prev_side.hint("shuffle_hash")
+                    final_delta = (
+                        ranks.join(prev_side, key)
+                        .agg(
+                            F.sum(
+                                F.floor(
+                                    F.abs(F.col("rank") - F.col("_rank_prev"))
+                                    * F.lit(1e9)
+                                ).cast("bigint")
+                            ).alias("d")
+                        )
+                        .collect()[0]["d"]
+                    )
+                    if final_delta < tol * 1e9:
+                        iterations_run = it + 1
+                        break
+                prev = ranks
+        if stats is not None:
+            stats["iterations_run"] = iterations_run
+            stats["final_delta_e9"] = final_delta
+        if deterministic:
+            return ranks
+        return names.join(ranks.withColumnRenamed(key, "_nid"), "_nid").select(
+            "node", "rank"
+        )
+
+    finally:
+        if not deterministic:
+            if prev_coalesce is None:
+                sess.conf.unset(_COALESCE)
+            else:
+                sess.conf.set(_COALESCE, prev_coalesce)
 
 
 def khop_neighborhood(
