@@ -81,9 +81,17 @@ _DRIVER_SAMPLE_FIRST = [
     "a8_oversample_balance",
     "a9_ranking_metrics",
     "api_retrieve_by_relation",
-    "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_simhash_pairs",
+    # d_minhash_lsh_pairs defers one round (r4 row; its exact md5
+    # minhash+banding path is re-exercised in-sample by the new composed
+    # query below) for the end-to-end dedup ACTION, which needs a first row
+    "d_dedup_corpus",
+    # d_ngram_jaccard_pairs defers one round (r4 row; the gram+jaccard
+    # verify path is re-exercised in-sample inside d_dedup_corpus) for the
+    # decontamination ACTION, which needs a first row
+    "t_decontaminate",
+    # d_simhash_pairs defers one round (r4 row, code untouched) for the
+    # incremental index-dedup ACTION, which needs a first row
+    "d_dedup_incremental",
     "ep_masked_inputs",
     "ep_split_sets_sizes",
     "j3_visual_ratio",
@@ -119,7 +127,8 @@ _DRIVER_SAMPLE_FIRST = [
 
 
 # r7 front-50 priority: t_bm25_multi, a9_weighted_prf, j8b_diff_partner_pop,
-# api_entity_vocab, s_quantize_embeddings (newest rows r4 — refresh first),
+# api_entity_vocab, s_quantize_embeddings, d_minhash_lsh_pairs,
+# d_ngram_jaccard_pairs, d_simhash_pairs (newest rows r4 — refresh first),
 # then the r5-checked set ages to its own two-round edge.
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]

@@ -2180,3 +2180,196 @@ def t_inverted_index(spark, sf_dir):
         d, "text", "doc_id", segment_size=16, hash_mode="md5"
     )
 
+
+
+@_register(
+    "d_dedup_corpus",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(t) AS u(s)
+    ),
+    h AS (
+      SELECT doc_id, r.i AS hidx,
+             MIN(('0x' || substr(md5(s || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh, UNNEST(range(0, 32)) AS r(i)
+      GROUP BY doc_id, r.i
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY hidx) AS sig FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             ('0x' || substr(md5(array_to_string(sig[b.b*4+1 : b.b*4+4], ',')), 1, 15))::BIGINT AS bh
+      FROM sig, UNNEST(range(0, 8)) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a
+      JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+    ),
+    sets AS (SELECT doc_id, list(s) AS ts FROM sh GROUP BY doc_id),
+    ver AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sets sa ON sa.doc_id = cand.id_a
+      JOIN sets sb ON sb.doc_id = cand.id_b
+      WHERE len(list_intersect(sa.ts, sb.ts)) * 1.0
+            / len(list_distinct(sa.ts || sb.ts)) >= 0.6
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM ver UNION SELECT id_b, id_a FROM ver),
+    r(node, reach) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.node, s.b FROM r JOIN sym s ON r.reach = s.a
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(reach)) AS component FROM r GROUP BY node
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+)
+def d_dedup_corpus(spark, sf_dir):
+    """The end-to-end fuzzy-dedup ACTION (operators/dedup.dedup_corpus):
+    MinHash-LSH candidates → exact word-set Jaccard verify (≥0.6) →
+    connected components → drop every non-canonical cluster member.  The
+    whole four-stage composition — signatures, banding, verification,
+    label propagation, final anti-join — is replayed by ONE recursive-CTE
+    DuckDB oracle in md5 hash mode, so the surviving-document set is
+    value-hash certified, not just the intermediate pair relations
+    (which d_minhash_lsh_pairs / d_ngram_jaccard_pairs / d_dup_components
+    certify stage by stage)."""
+    from imgfact_spark.operators.dedup import dedup_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_corpus(
+        d, "text", "doc_id", n=1, num_hashes=32, bands=8, rows_per_band=4,
+        jaccard_threshold=0.6, hash_mode="md5",
+    ).select("doc_id")
+
+
+@_register(
+    "t_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i.i : i.i + 2], ' ') AS ngram
+      FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS i(i)
+    ),
+    bench_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 50),
+    doc_grams AS (SELECT doc_id, ngram FROM grams WHERE doc_id >= 50),
+    totals AS (SELECT doc_id, COUNT(*) AS total FROM doc_grams GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS hits
+      FROM doc_grams WHERE ngram IN (SELECT ngram FROM bench_grams)
+      GROUP BY doc_id
+    ),
+    contaminated AS (
+      SELECT t.doc_id FROM totals t JOIN hits h USING (doc_id)
+      WHERE CAST(h.hits AS DOUBLE) > 0.2 * CAST(t.total AS DOUBLE)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def t_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination ACTION (operators/dedup.decontaminate):
+    drop corpus docs whose distinct 3-gram overlap with the benchmark set
+    (doc_id < 50) exceeds 20% of the doc's own grams — the GPT-3 App. C
+    decontamination rule generalized to a fraction threshold; the
+    measuring twin is t_contamination.  The benchmark gram relation
+    broadcasts (eval suites are tiny next to a 100 TB corpus); the corpus
+    side is a map-only gram explode + one count agg + left-anti join."""
+    from imgfact_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        "text", "doc_id", n=3, max_overlap=0.2,
+    ).select("doc_id")
+
+
+@_register(
+    "d_dedup_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(t) AS u(s)
+    ),
+    h AS (
+      SELECT doc_id, r.i AS hidx,
+             MIN(('0x' || substr(md5(s || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh, UNNEST(range(0, 32)) AS r(i)
+      GROUP BY doc_id, r.i
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY hidx) AS sig FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             ('0x' || substr(md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')), 1, 15))::BIGINT AS bh
+      FROM sig, UNNEST(range(0, 4)) AS b(b)
+    ),
+    index_bands AS (SELECT band, bh FROM bands WHERE doc_id >= 450),
+    new_bands AS (SELECT doc_id, band, bh FROM bands WHERE doc_id < 450),
+    vs_index AS (
+      SELECT DISTINCT n.doc_id FROM new_bands n
+      JOIN index_bands i ON n.band = i.band AND n.bh = i.bh
+    ),
+    survivors AS (
+      SELECT * FROM new_bands WHERE doc_id NOT IN (SELECT doc_id FROM vs_index)
+    ),
+    dominated AS (
+      SELECT DISTINCT b.doc_id FROM survivors a
+      JOIN survivors b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id < 450
+      AND doc_id NOT IN (SELECT doc_id FROM vs_index)
+      AND doc_id NOT IN (SELECT doc_id FROM dominated)
+    """,
+)
+def d_dedup_incremental(spark, sf_dir):
+    """Incremental (CDC-shaped) near-dup dedup
+    (operators/dedup.dedup_against_index): the stored corpus exists only
+    as its LSH band index (docs ≥100 here); the new batch (docs <100)
+    drops members colliding with the index in any band, then greedy-drops
+    the larger id of every within-batch collision — one pass, no
+    label-propagation rounds (the batch ops dedup_corpus/minhash_dedup
+    carry the transitive semantics).  md5 hash mode: DuckDB replays
+    signatures, banding, both collision phases and the final anti-joins,
+    so the kept-document set is value-hash certified."""
+    from imgfact_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_table,
+        minhash_signature,
+        shingle_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") >= 450)
+    new = d.filter(F.col("doc_id") < 450)
+    sig_old = minhash_signature(
+        shingle_df(old, "text", "doc_id", n=1), "doc_id",
+        num_hashes=32, hash_mode="md5",
+    )
+    index = minhash_band_table(sig_old, "doc_id", bands=4, rows_per_band=8,
+                               hash_mode="md5")
+    kept, _updated = dedup_against_index(
+        new, index, "text", "doc_id", n=1, num_hashes=32, bands=4,
+        rows_per_band=8, hash_mode="md5",
+    )
+    return kept.select("doc_id")

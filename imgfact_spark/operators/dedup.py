@@ -106,23 +106,17 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_dup_pairs(
+def minhash_band_table(
     sig_df: DataFrame,
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Candidate near-dup pairs via banding: docs sharing any full band
-    collide.  Returns distinct (id_a < id_b) pairs with the matching band
-    count — the classic MinHash-LSH S-curve (bands=16 × rows=4 over 64
-    hashes ⇒ ~50% threshold near Jaccard 0.5).
-
-    Scale shape: explode to (band_id, band_hash, id) — ``bands`` rows per doc
-    of ~16 bytes — then self-join per bucket.  Bucket sizes are bounded by
-    collision probability, not corpus size; a pathological bucket (all-empty
-    docs) is capped via ``spark.sql.adaptive`` skew split.
-    """
+    """The storable LSH band index: (id, band, bh) — ``bands`` 16-byte rows
+    per document.  This relation IS the persistent artifact an incremental
+    pipeline keeps between crawl batches (:func:`dedup_against_index`);
+    :func:`minhash_lsh_dup_pairs` self-joins it for the batch case."""
     band_arr = F.array(
         *[
             F.struct(
@@ -142,8 +136,31 @@ def minhash_lsh_dup_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig_df.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
+    return sig_df.select(F.col(id_col), F.explode(band_arr).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def minhash_lsh_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any full band
+    collide.  Returns distinct (id_a < id_b) pairs with the matching band
+    count — the classic MinHash-LSH S-curve (bands=16 × rows=4 over 64
+    hashes ⇒ ~50% threshold near Jaccard 0.5).
+
+    Scale shape: explode to (band_id, band_hash, id) — ``bands`` rows per doc
+    of ~16 bytes — then self-join per bucket.  Bucket sizes are bounded by
+    collision probability, not corpus size; a pathological bucket (all-empty
+    docs) is capped via ``spark.sql.adaptive`` skew split.
+    """
+    buckets = minhash_band_table(
+        sig_df, id_col, bands=bands, rows_per_band=rows_per_band,
+        hash_mode=hash_mode,
     )
     # materialize once: both self-join sides reuse it instead of recomputing
     # the whole shingle→minhash chain per side
@@ -693,3 +710,177 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ----------------------------------------------------------- corpus action
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+    max_iter: int = 20,
+) -> DataFrame:
+    """The end-to-end fuzzy-dedup ACTION over a document corpus — the
+    composition every web-scale curation pipeline runs (Lee et al. 2022;
+    the GPT-3/Gopher dedup stage): MinHash-LSH candidate pairs → exact
+    n-gram Jaccard verification → connected components → keep ONE
+    canonical representative (min id) per duplicate cluster.
+
+    → the input rows minus non-canonical duplicates (all columns
+    preserved; docs in no cluster pass through untouched).
+
+    Scale shape: every stage is the already-bounded operator it names —
+    banded bucket joins (never all-pairs), verification over candidate
+    pairs only, O(diameter) hash-min label propagation — and the final
+    drop is one left-anti join on the id.  The reference dedups by exact
+    media path only (dataset merge in p_entity_setup.py); this is the
+    fuzzy generalization its corpus would need from crawl data.
+    """
+    sh = shingle_df(df, text_col, id_col, n)
+    sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)
+    cand = minhash_lsh_dup_pairs(
+        sig, id_col, bands=bands, rows_per_band=rows_per_band, hash_mode=hash_mode
+    )
+    verified = ngram_jaccard_pairs(
+        df, cand.select("id_a", "id_b"), text_col, id_col,
+        n=n, threshold=jaccard_threshold,
+    )
+    from imgfact_spark.operators.connected_components import connected_components
+
+    comp = connected_components(verified, src="id_a", dst="id_b", max_iter=max_iter)
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    max_overlap: float = 0.0,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination ACTION: drop every corpus document whose
+    distinct word n-gram overlap with the benchmark set exceeds
+    ``max_overlap`` (fraction of the DOC's distinct n-grams; 0.0 = the
+    GPT-3-style any-collision rule, Brown et al. 2020 App. C — the
+    measuring twin is :func:`contamination_check`).
+
+    → corpus rows minus contaminated documents, all columns preserved.
+
+    Scale shape: the benchmark reduces to ONE distinct n-gram relation —
+    eval suites are tiny next to a 100 TB corpus, so it broadcasts
+    (``broadcast_benchmark``; disable for benchmark sets beyond executor
+    memory and AQE shuffles the gram join instead).  The corpus side is a
+    map-only gram explode + one count aggregate per doc; contaminated ids
+    leave via a left-anti join.  The reference ships no decontamination
+    stage; its eval split leaks are handled by exact path disjointness
+    (split_sets) — this is the n-gram generalization training corpora
+    need.
+    """
+    bench_grams = (
+        shingle_df(benchmark, text_col, id_col, n)
+        .select(F.explode("shingles").alias("ngram"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = shingle_df(corpus, text_col, id_col, n).select(
+        id_col, F.explode("shingles").alias("ngram")
+    )
+    hits = (
+        doc_grams.join(bench_grams, "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("_total"))
+    contaminated = (
+        totals.join(hits, id_col)  # inner: no hits → not contaminated
+        .filter(
+            F.col("_hits").cast("double")
+            > F.lit(max_overlap) * F.col("_total").cast("double")
+        )
+        .select(id_col)
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+# ------------------------------------------------- incremental (CDC) dedup
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
+) -> "tuple[DataFrame, DataFrame]":
+    """Incremental near-dup dedup of a NEW batch against a persisted LSH
+    band index — the CDC shape a daily-crawl pipeline runs: the corpus is
+    never re-shingled; only its (id, band, bh) relation
+    (:func:`minhash_band_table`, ~``bands``×16 bytes/doc) is kept between
+    batches and equi-joined with the new batch's bands.
+
+    Two deterministic phases:
+      1. a new doc colliding with the INDEX in any band drops (the stored
+         corpus copy is canonical);
+      2. among phase-1 survivors, for every within-batch colliding pair
+         the LARGER id drops — the one-pass greedy rule (no iterative
+         label propagation: incremental batches are small next to the
+         index, and O(1) passes is the point; run :func:`minhash_dedup` /
+         :func:`dedup_corpus` for the transitive batch semantics).
+
+    → ``(kept_new_docs, updated_index)`` where updated_index = the input
+    index plus the kept docs' band rows (union — write it back as the
+    next batch's index).  Band-join cost ∝ bucket collisions, never
+    |index| × |batch|.
+    """
+    sh = shingle_df(new_docs, text_col, id_col, n)
+    sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)
+    new_bands = snapshot(
+        minhash_band_table(
+            sig, id_col, bands=bands, rows_per_band=rows_per_band,
+            hash_mode=hash_mode,
+        )
+    )
+    # phase 1: any band shared with the index ⇒ drop
+    vs_index = (
+        new_bands.join(index.select("band", "bh"), ["band", "bh"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_bands.join(vs_index, id_col, "left_anti")
+    # phase 2: within-batch collisions among survivors — larger id drops
+    a = survivors.alias("a")
+    b = survivors.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = vs_index.unionByName(dominated)
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    kept_bands = survivors.join(dominated, id_col, "left_anti")
+    return kept, index.unionByName(kept_bands)

@@ -53,6 +53,12 @@ class PipelineConfig:
     # the real-model contract; see pipeline/model_serving.py)
     scoring: str = "column"
     scorer_checkpoint: str | None = None  # .npz path for scoring="checkpoint"
+    # M1 entity gate: "column" (hash stand-in) | "checkpoint" (VCC weights
+    # served from an executor-loaded .npz — reference inference.py:83-119);
+    # md5-mode checkpoints gate bit-identically to the stand-in (parity
+    # pinned by test_model_serving + the pipeline parity test)
+    entity_gate: str = "column"
+    vcc_checkpoint: str | None = None  # .npz path for entity_gate="checkpoint"
     hash_mode: str = "xxhash64"   # "xxhash64" | "md5" (cross-engine oracle mode)
     lineage_stats: bool = True    # per-partition row counts in commit markers
     broadcast_entity_dims: bool = True  # hint entity-scaled dims (off at web scale)
@@ -159,13 +165,21 @@ def run_pipeline(
         candidates = candidates_full
     # `visual` feeds two consumers (the candidate gate and the fused ratio),
     # so in final mode it is persisted; it is entity-dimension-sized.
-    visual = _stage(
-        "visual_entities",
-        lambda: entity_filter.visual_entities(
+    def _visual():
+        if cfg.entity_gate == "checkpoint":
+            from imgfact_spark.pipeline import model_serving
+
+            ckpt = cfg.vcc_checkpoint or model_serving.default_vcc_checkpoint_path(
+                "md5" if cfg.hash_mode == "md5" else "model"
+            )
+            return entity_filter.visual_entities_checkpoint(
+                media, ckpt, cfg.min_evidence, cfg.vcc_threshold
+            )
+        return entity_filter.visual_entities(
             media, cfg.min_evidence, cfg.vcc_threshold, hash_mode=cfg.hash_mode
-        ),
-        shared=True,
-    )
+        )
+
+    visual = _stage("visual_entities", _visual, shared=True)
     vis_cand = _stage(
         "visual_candidates",
         lambda: entity_filter.filter_visual_triples(

@@ -392,3 +392,121 @@ def test_winnow_production_hash_mode_same_shape(spark):
         by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
     assert 4 not in by_doc  # < k tokens emits nothing
     assert by_doc[1] >= 1  # long docs always select something
+
+
+def test_dedup_corpus_end_to_end_action(spark):
+    """dedup_corpus: each BASE cluster (original + exact dup + near dup +
+    the doc-0 whitespace variant) collapses to its min-id representative;
+    the four distinct BASE documents all survive with columns intact —
+    and a python brute-force twin (all-pairs jaccard + transitive closure)
+    agrees exactly on the production xxhash64 path."""
+    from imgfact_spark.operators.dedup import dedup_corpus
+
+    df = _corpus(spark).withColumn("extra", F.col("doc_id") * 10)
+    kept = dedup_corpus(
+        df, "text", "doc_id", n=3, num_hashes=64, bands=16, rows_per_band=4,
+        jaccard_threshold=0.5,
+    )
+    rows = kept.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    # python twin: exact 3-gram jaccard >= 0.5 closure, min-id survivor —
+    # LSH at 16x4 bands catches >=0.5-jaccard pairs on this tiny corpus
+    import itertools as it
+
+    texts = {r["doc_id"]: r["text"] for r in _corpus(spark).collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    parent = {i: i for i in texts}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in it.combinations(sorted(texts), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if ga and gb and len(ga & gb) / len(ga | gb) >= 0.5:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(i for i in texts if find(i) == i)
+    assert ids == want
+    assert all(r["extra"] == r["doc_id"] * 10 for r in rows)  # columns intact
+    # the canonical member of the doc-0 cluster is doc 0 itself
+    assert 0 in ids and 1 not in ids
+
+
+def test_decontaminate_threshold_semantics(spark):
+    """decontaminate: a verbatim benchmark copy always drops; a partial
+    overlap drops only when its gram-overlap fraction exceeds max_overlap;
+    clean docs always survive with columns intact."""
+    from imgfact_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "the exam question asks about the capital of france in autumn")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy: overlap 1.0 → dropped at every threshold
+            (10, "the exam question asks about the capital of france in autumn"),
+            # ~half the grams shared (prefix copied, suffix novel)
+            (11, "the exam question asks about growing tomatoes on a balcony planter"),
+            # clean document
+            (12, "completely unrelated prose concerning spark shuffle internals"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("extra", F.col("doc_id") + 100)
+
+    strict = decontaminate(corpus, bench, "text", "doc_id", n=3, max_overlap=0.0)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [12]
+
+    loose = decontaminate(corpus, bench, "text", "doc_id", n=3, max_overlap=0.6)
+    kept = {r["doc_id"]: r["extra"] for r in loose.collect()}
+    assert sorted(kept) == [11, 12]  # partial overlap ≤ 60% survives
+    assert kept[11] == 111  # columns preserved through the anti-join
+
+
+def test_dedup_against_index_two_batches(spark):
+    """dedup_against_index: batch-1 near-dups of the indexed corpus drop;
+    a novel doc survives and its bands enter the updated index, so a
+    batch-2 copy of it drops against THAT index — the CDC round trip.
+    Within-batch collisions greedy-drop the larger id."""
+    from imgfact_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_table,
+        minhash_signature,
+        shingle_df,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(BASE)], "doc_id long, text string"
+    )
+    sig = minhash_signature(
+        shingle_df(corpus, "text", "doc_id", n=3), "doc_id", num_hashes=64
+    )
+    index = minhash_band_table(sig, "doc_id").localCheckpoint(eager=True)
+
+    novel = "entirely new reporting about tidal energy turbines off the northern coast"
+    batch1 = spark.createDataFrame(
+        [
+            (1, BASE[0]),                          # exact dup of indexed doc
+            (2, BASE[1].replace("the", "that", 1)),  # near dup of indexed doc
+            (3, novel),                            # novel → kept
+            (4, novel + " again"),                 # near dup of 3 → dominated
+        ],
+        "doc_id long, text string",
+    )
+    kept1, index2 = dedup_against_index(batch1, index, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [3]
+    # batch 2: a copy of the batch-1 novel doc must now collide with the
+    # UPDATED index (its bands were appended), plus one fresh doc
+    batch2 = spark.createDataFrame(
+        [(10, novel), (11, "fresh unrelated text about alpine railway tunnels")],
+        "doc_id long, text string",
+    )
+    kept2, _ = dedup_against_index(batch2, index2.localCheckpoint(eager=True),
+                                   "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]

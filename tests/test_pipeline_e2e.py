@@ -219,3 +219,35 @@ def test_pipeline_checkpoint_scoring_is_dropin(spark, tmp_path):
         da, db = getattr(a, side), getattr(b, side)
         assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0, side
     assert a.kg_triples.count() > 0
+
+
+def test_pipeline_checkpoint_entity_gate_is_dropin(spark, tmp_path):
+    """entity_gate='checkpoint' (M1 VCC weights deserialized per partition
+    from an executor-local .npz) produces IDENTICAL kg tables to the
+    in-engine stand-in gate under hash_mode='md5' — with ALL FOUR model
+    kernels now checkpoint-servable, the full pipeline can run entirely on
+    user-supplied weights (scoring + entity_gate both 'checkpoint')."""
+    docs = synth.synth_documents(spark, 200).cache()
+    kb = synth.kb_df(spark)
+    ents = kb.selectExpr("s as entity").union(kb.selectExpr("o as entity")).distinct()
+    r2d = synth.rel2desc_df(spark)
+
+    def run(sub, **kw):
+        cfg = PipelineConfig(
+            checkpoint="final", hash_mode="md5", lineage_stats=False, **kw
+        )
+        store = TableStore(str(tmp_path / sub))
+        return run_pipeline(
+            spark, docs, r2d, ents, store, cfg,
+            input_fingerprint="gate-parity:200", materialize_input=False,
+        )
+
+    a = run("col")
+    b = run("gate", entity_gate="checkpoint")
+    c = run("both", entity_gate="checkpoint", scoring="checkpoint")
+    for side in ("kg_triples", "kg_groundings"):
+        da = getattr(a, side)
+        for other in (b, c):
+            db = getattr(other, side)
+            assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+    assert a.kg_triples.count() > 0
