@@ -2345,7 +2345,9 @@ def t_decontaminate(spark, sf_dir):
 def d_dedup_incremental(spark, sf_dir):
     """Incremental (CDC-shaped) near-dup dedup
     (operators/dedup.dedup_against_index): the stored corpus exists only
-    as its LSH band index (docs ≥100 here); the new batch (docs <100)
+    as its LSH band index (docs ≥450 here); the new batch (docs <450;
+    4 bands × 8 rows keeps BOTH phases non-trivial at sf0.01 — 334 index
+    collisions, 26 within-batch dominations, 90 kept)
     drops members colliding with the index in any band, then greedy-drops
     the larger id of every within-batch collision — one pass, no
     label-propagation rounds (the batch ops dedup_corpus/minhash_dedup

@@ -115,6 +115,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # exactly ONE whitespace byte after maxval, per spec
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        # a 0×0 header would decode to a size-0 axis and surface later as
+        # an IndexError in the model-input fit — fail the documented way
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     need = width * height * 3

@@ -739,9 +739,11 @@ def dedup_corpus(
     Scale shape: every stage is the already-bounded operator it names —
     banded bucket joins (never all-pairs), verification over candidate
     pairs only, O(diameter) hash-min label propagation — and the final
-    drop is one left-anti join on the id.  The reference dedups by exact
-    media path only (dataset merge in p_entity_setup.py); this is the
-    fuzzy generalization its corpus would need from crawl data.
+    drop is one left-anti join on the id.  The reference's only dedup
+    primitive is exact-key skipping during its dataset merge
+    (clustering/cluster.py:73, ``if (s,p,o) not in idx``); this is the
+    fuzzy content-level generalization its corpus would need from crawl
+    data.
     """
     sh = shingle_df(df, text_col, id_col, n)
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)
@@ -801,14 +803,19 @@ def decontaminate(
     doc_grams = shingle_df(corpus, text_col, id_col, n).select(
         id_col, F.explode("shingles").alias("ngram")
     )
-    hits = (
-        doc_grams.join(bench_grams, "ngram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_hits"))
+    # ONE corpus pass: hit-mark via broadcast left join, then count total
+    # and hits in the same aggregate (two separate aggregations would
+    # re-run the tokenize+explode subtree — the dominant map cost — since
+    # semi-join and bare groupBy plans share no exchange)
+    marked = doc_grams.join(
+        bench_grams.withColumn("_hit", F.lit(1)), "ngram", "left"
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("_total"))
     contaminated = (
-        totals.join(hits, id_col)  # inner: no hits → not contaminated
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("_total"),
+            F.count("_hit").alias("_hits"),
+        )
         .filter(
             F.col("_hits").cast("double")
             > F.lit(max_overlap) * F.col("_total").cast("double")
@@ -850,7 +857,9 @@ def dedup_against_index(
     → ``(kept_new_docs, updated_index)`` where updated_index = the input
     index plus the kept docs' band rows (union — write it back as the
     next batch's index).  Band-join cost ∝ bucket collisions, never
-    |index| × |batch|.
+    |index| × |batch|.  Reference analog: the exact-key ``not in idx``
+    merge skip (clustering/cluster.py:73) — the incremental fuzzy form a
+    continuously-crawled corpus needs.
     """
     sh = shingle_df(new_docs, text_col, id_col, n)
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)

@@ -49,7 +49,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import threading
+
 from imgfact_spark.operators.util import ensure_parallelism, snapshot
+
+# Refcounted guard for the scoped AQE-coalesce override: a naive
+# read/set/restore races under this repo's own concurrent-job patterns
+# (two fast-mode pageranks, or pagerank beside runner.py's concurrent
+# sinks) — caller B could snapshot the "false" caller A just set and
+# "restore" it permanently after A unset it.  First entrant saves the
+# real prior value and sets "false"; the last exit restores it.  (The
+# conf is still session-global while held — any unrelated query running
+# during the window executes without partition coalescing; that is the
+# accepted scope of a session-conf tuning, documented at the use site.)
+_COALESCE = "spark.sql.adaptive.coalescePartitions.enabled"
+_coalesce_lock = threading.Lock()
+_coalesce_state: dict = {}  # session id → {"depth": int, "saved": str|None}
+
+
+def _coalesce_off_enter(sess) -> None:
+    with _coalesce_lock:
+        st = _coalesce_state.setdefault(id(sess), {"depth": 0, "saved": None})
+        if st["depth"] == 0:
+            st["saved"] = sess.conf.get(_COALESCE, None)
+            sess.conf.set(_COALESCE, "false")
+        st["depth"] += 1
+
+
+def _coalesce_off_exit(sess) -> None:
+    with _coalesce_lock:
+        st = _coalesce_state[id(sess)]
+        st["depth"] -= 1
+        if st["depth"] == 0:
+            if st["saved"] is None:
+                sess.conf.unset(_COALESCE)
+            else:
+                sess.conf.set(_COALESCE, st["saved"])
+            del _coalesce_state[id(sess)]
 
 
 def _step(
@@ -122,17 +158,21 @@ def pagerank(
     :func:`khop_neighborhood`'s empty-frontier exit.  At 100× scale a
     fixed K either overpays (converged long ago) or under-converges;
     ``tol`` bounds both at one tiny agg per barrier.  The delta is summed
-    in EXACT integers (floor(|Δ|·1e9) per node, ≤1e9 each — no bigint
-    overflow below 9·10⁹ nodes), so the stop decision is partitioning-
-    invariant: resolution 1e-9, i.e. ``tol`` below 1e-9 never stops early.
+    in EXACT integers, quantized RELATIVE to graph size
+    (floor(|Δ|·n·1e6) per node — per-node deltas are O(1/n), so an
+    absolute floor would read 0 everywhere at large n and stop
+    spuriously), making the stop decision partitioning-invariant with
+    per-node resolution 1e-6/n and ≤1e-6 total L1 slack (``tol`` below
+    ~1e-6 never stops early); the integer sum is bounded by 2e6·n
+    (Σ|Δ| ≤ 2), overflow-safe to n ≈ 4.6·10¹² nodes.
     Note the delta spans the WHOLE barrier window (x = checkpoint_every
     iterations in production mode), so a stopped run is exactly
     equivalent to ``pagerank(iterations=stats["iterations_run"])`` —
     pinned by tests/test_graph.py.
 
     ``stats`` (optional dict) is filled with ``iterations_run`` and
-    ``final_delta_e9`` for observability and the fixed-K equivalence
-    tests.
+    ``final_delta`` (the quantized L1 delta, de-scaled to a float) for
+    observability and the fixed-K equivalence tests.
 
     ``deterministic=False`` is the production path (values equal up to
     float associativity), shaped by a measured driver-gap diagnosis
@@ -173,11 +213,11 @@ def pagerank(
     # override is local-scale protection, not a cluster-behavior change.
     # Restored in the finally (the fast-mode name rejoin executes lazily
     # after restore — a plain big join where coalescing is harmless).
-    _COALESCE = "spark.sql.adaptive.coalescePartitions.enabled"
+    # Entry/exit go through the module refcount guard so concurrent
+    # fast-mode calls on one session cannot corrupt the saved value.
     sess = edges.sparkSession
-    prev_coalesce = sess.conf.get(_COALESCE, None) if not deterministic else None
     if not deterministic:
-        sess.conf.set(_COALESCE, "false")
+        _coalesce_off_enter(sess)
     try:
         if deterministic:
             e = snapshot(
@@ -268,6 +308,17 @@ def pagerank(
         prev = ranks  # last materialized barrier state (tol probes only)
         iterations_run = iterations
         final_delta = None
+        # Graph-size-relative quantization: per-node term floor(|Δ|·n·1e6).
+        # Per-node deltas are O(1/n), so an ABSOLUTE floor (the first cut
+        # used 1e-9) would quantize every term to 0 once n ≳ 1e9 — spurious
+        # convergence exactly at the scale the operator targets.  Relative
+        # units keep n out of the resolution: per-node resolution is
+        # 1e-6/n (six significant digits of a typical delta at every n),
+        # the total quantization slack is < n·(1/(n·1e6)) = 1e-6 absolute
+        # on the L1 norm (so tol below ~1e-6 never stops early), and the
+        # sum cannot overflow: Σ|Δ| ≤ 2 (two sub-probability vectors), so
+        # the integer sum is ≤ 2e6·n — inside bigint to n ≈ 4.6·10¹².
+        delta_scale = 1e6 * n_nodes
         for it in range(iterations):
             ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
             # lineage/plan-size control: barrier only where plan growth says so
@@ -282,25 +333,26 @@ def pagerank(
                     prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})
                     if not deterministic:
                         prev_side = prev_side.hint("shuffle_hash")
-                    final_delta = (
+                    delta_int = (
                         ranks.join(prev_side, key)
                         .agg(
                             F.sum(
                                 F.floor(
                                     F.abs(F.col("rank") - F.col("_rank_prev"))
-                                    * F.lit(1e9)
+                                    * F.lit(delta_scale)
                                 ).cast("bigint")
                             ).alias("d")
                         )
                         .collect()[0]["d"]
                     )
-                    if final_delta < tol * 1e9:
+                    final_delta = delta_int / delta_scale
+                    if delta_int < tol * delta_scale:
                         iterations_run = it + 1
                         break
                 prev = ranks
         if stats is not None:
             stats["iterations_run"] = iterations_run
-            stats["final_delta_e9"] = final_delta
+            stats["final_delta"] = final_delta
         if deterministic:
             return ranks
         return names.join(ranks.withColumnRenamed(key, "_nid"), "_nid").select(
@@ -309,10 +361,7 @@ def pagerank(
 
     finally:
         if not deterministic:
-            if prev_coalesce is None:
-                sess.conf.unset(_COALESCE)
-            else:
-                sess.conf.set(_COALESCE, prev_coalesce)
+            _coalesce_off_exit(sess)
 
 
 def khop_neighborhood(

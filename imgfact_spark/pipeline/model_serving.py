@@ -121,10 +121,11 @@ class _LoadedScorer:
                 self.freqs = z["freqs"]
 
     def _encode(self, keys: pd.Series) -> np.ndarray:
-        # bit-identical to grounding.score_groundings_model_sim.encode
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
-        base = (h % np.uint64(2**31)).astype("float64") / float(2**31)
-        x = np.sin(np.outer(base, self.freqs))
+        # bit-identical to grounding.score_groundings_model_sim.encode;
+        # the hash→sin lift is the shared _encode_base (one definition —
+        # the M1/M4 kernels use the same one, so the bit-sensitive lift
+        # cannot drift between serving paths)
+        x = _encode_base(keys, self.freqs)
         for w in self.planes:
             x = np.tanh(x @ w)
         z = x @ self.readout
@@ -160,21 +161,10 @@ def checkpoint_scores_udf(checkpoint_path: str, load_marker_dir: "str | None" = 
     iterator), then serves every Arrow batch — the inference.py:160-176
     worker contract.  ``load_marker_dir`` (tests only) drops one marker
     file per load so the once-per-partition invariant is countable.
-    """
-
-    def serve(
-        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
-    ) -> Iterator[pd.DataFrame]:
-        scorer = _LoadedScorer(checkpoint_path)  # per-partition init
-        if load_marker_dir:
-            with open(
-                os.path.join(load_marker_dir, f"load-{uuid.uuid4().hex}"), "w"
-            ) as f:
-                f.write(checkpoint_path)
-        for s, p, o, media_ref in batches:
-            yield scorer.score_batch(s, p, o, media_ref)
-
-    return pandas_udf(serve, returnType=SCORE_STRUCT)
+    Built on the shared :func:`_iter_udf` (one serve-loop definition for
+    all four kernels)."""
+    return _iter_udf(_LoadedScorer, SCORE_STRUCT, checkpoint_path,
+                     load_marker_dir, 4)
 
 
 def score_groundings_checkpoint(

@@ -256,7 +256,11 @@ def test_decode_ppm_roundtrip_and_corruption():
     img = decode_ppm(payload)
     assert img.shape == (3, 5, 3) and img.dtype == np.uint8
     assert img.tobytes() == payload[-45:]
-    for bad in (None, b"JFIF....", payload[:-1], b"P6\n5 3\n70000\n" + b"x" * 45):
+    for bad in (
+        None, b"JFIF....", payload[:-1],
+        b"P6\n5 3\n70000\n" + b"x" * 45,
+        b"P6\n0 0\n255\n",  # zero-size header must fail here, not later
+    ):
         with pytest.raises(ValueError):
             decode_ppm(bad)
 

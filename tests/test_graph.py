@@ -173,8 +173,8 @@ def test_pagerank_tol_early_stop_equals_fixed_k(spark):
     stats: dict = {}
     stopped = pagerank(e, iterations=40, tol=1e-6, stats=stats)
     assert 1 <= stats["iterations_run"] < 40  # genuinely stopped early
-    assert stats["final_delta_e9"] is not None
-    assert stats["final_delta_e9"] < 1e-6 * 1e9
+    assert stats["final_delta"] is not None
+    assert stats["final_delta"] < 1e-6
     fixed = pagerank(e, iterations=stats["iterations_run"])
     got = {r["node"]: r["rank"] for r in stopped.collect()}
     want = {r["node"]: r["rank"] for r in fixed.collect()}
