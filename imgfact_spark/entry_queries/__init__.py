@@ -98,7 +98,11 @@ _DRIVER_SAMPLE_FIRST = [
     "j7_first_seen_label_ids",
     "j8_theta_diff_partner",
     "j9_messy_swap",
-    "kg_construct_triples",
+    # kg_construct_triples defers one round (r4 row; its EXACT oracle —
+    # _e2e_triples_oracle_sql — stays in-sample via st_incremental_kg and
+    # the flagship covers the same pipeline) for the new streaming
+    # incremental-dedup query, which needs a first row
+    "st_incremental_dedup",
     "m6_cluster_representatives",
     "mm_frame_sample",
     "o4_sample_per_group",
@@ -128,7 +132,8 @@ _DRIVER_SAMPLE_FIRST = [
 
 # r7 front-50 priority: t_bm25_multi, a9_weighted_prf, j8b_diff_partner_pop,
 # api_entity_vocab, s_quantize_embeddings, d_minhash_lsh_pairs,
-# d_ngram_jaccard_pairs, d_simhash_pairs (newest rows r4 — refresh first),
+# d_ngram_jaccard_pairs, d_simhash_pairs, kg_construct_triples (newest
+# rows r4 — refresh first),
 # then the r5-checked set ages to its own two-round edge.
 
 _unknown = [n for n in _DRIVER_SAMPLE_FIRST if n not in QUERIES]

@@ -232,3 +232,102 @@ def st_sessionization(spark, sf_dir):
     )
     return sessionize_events_batch(ev, gap_seconds=1800)
 
+
+
+@_register(
+    "st_incremental_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(t) AS u(s)
+    ),
+    h AS (
+      SELECT doc_id, r.i AS hidx,
+             MIN(('0x' || substr(md5(s || chr(31) || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh, UNNEST(range(0, 32)) AS r(i)
+      GROUP BY doc_id, r.i
+    ),
+    sig AS (
+      SELECT doc_id, list(mh ORDER BY hidx) AS sig FROM h GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             ('0x' || substr(md5(array_to_string(sig[b.b*8+1 : b.b*8+8], ',')), 1, 15))::BIGINT AS bh
+      FROM sig, UNNEST(range(0, 4)) AS b(b)
+    ),
+    -- wave 1 (docs >= 450) arrives first and self-dedups vs an EMPTY
+    -- index: greedy within-batch rule drops the larger id of each pair
+    w1 AS (SELECT doc_id, band, bh FROM bands WHERE doc_id >= 450),
+    w1_dom AS (
+      SELECT DISTINCT b.doc_id FROM w1 a
+      JOIN w1 b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    w1_kept AS (
+      SELECT DISTINCT doc_id FROM w1
+      WHERE doc_id NOT IN (SELECT doc_id FROM w1_dom)
+    ),
+    -- the persisted index after wave 1 = band rows of wave-1 SURVIVORS
+    index_bands AS (
+      SELECT band, bh FROM w1 WHERE doc_id IN (SELECT doc_id FROM w1_kept)
+    ),
+    w2 AS (SELECT doc_id, band, bh FROM bands WHERE doc_id < 450),
+    w2_vs AS (
+      SELECT DISTINCT n.doc_id FROM w2 n
+      JOIN index_bands i ON n.band = i.band AND n.bh = i.bh
+    ),
+    w2_surv AS (
+      SELECT * FROM w2 WHERE doc_id NOT IN (SELECT doc_id FROM w2_vs)
+    ),
+    w2_dom AS (
+      SELECT DISTINCT b.doc_id FROM w2_surv a
+      JOIN w2_surv b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id FROM documents
+    WHERE (doc_id >= 450 AND doc_id NOT IN (SELECT doc_id FROM w1_dom))
+       OR (doc_id < 450 AND doc_id NOT IN (SELECT doc_id FROM w2_vs)
+                        AND doc_id NOT IN (SELECT doc_id FROM w2_dom))
+    """,
+)
+def st_incremental_dedup(spark, sf_dir):
+    """Streaming near-dup dedup against a persisted, append-only LSH band
+    index (streaming.incremental_lsh_dedup): the corpus arrives as TWO
+    parquet waves drained by separate AvailableNow runs — wave 1 (docs
+    ≥450) self-dedups against the empty index and seeds it with its
+    survivors' bands; wave 2 (docs <450) dedups against THAT index, then
+    within itself.  One DuckDB oracle replays both waves — signatures,
+    banding, the wave-1 greedy pass, the index contents, wave 2's
+    index-collision and greedy passes — so the entire streaming kept-set
+    is value-hash certified, not just row-counted.  Each wave is written
+    as one file so a drain is exactly one foreachBatch call (the greedy
+    rule is batch-scoped by design)."""
+    import shutil
+    import tempfile
+
+    from imgfact_spark.streaming import incremental_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="imgfact_stdedup_")
+    try:
+        in_dir, work, ckpt = f"{root}/in", f"{root}/work", f"{root}/ckpt"
+        d.filter(F.col("doc_id") >= 450).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        incremental_lsh_dedup(
+            spark, in_dir, work, ckpt, d.schema, n=1, num_hashes=32,
+            bands=4, rows_per_band=8, hash_mode="md5",
+        )
+        d.filter(F.col("doc_id") < 450).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        incremental_lsh_dedup(
+            spark, in_dir, work, ckpt, d.schema, n=1, num_hashes=32,
+            bands=4, rows_per_band=8, hash_mode="md5",
+        )
+        kept = spark.read.parquet(f"{work}/kept").select("doc_id")
+        return kept.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

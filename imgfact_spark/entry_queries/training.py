@@ -2370,8 +2370,8 @@ def d_dedup_incremental(spark, sf_dir):
     )
     index = minhash_band_table(sig_old, "doc_id", bands=4, rows_per_band=8,
                                hash_mode="md5")
-    kept, _updated = dedup_against_index(
+    res = dedup_against_index(
         new, index, "text", "doc_id", n=1, num_hashes=32, bands=4,
         rows_per_band=8, hash_mode="md5",
     )
-    return kept.select("doc_id")
+    return res.kept.select("doc_id")

@@ -20,6 +20,8 @@ pairs.  Everything here follows that shape.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -376,11 +378,18 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    shingles: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (id_a, id_b) pairs — the verify
     stage after LSH.  Joins shingle arrays to both sides; set algebra stays
-    JVM-side (array_intersect / array_union)."""
-    sh = shingle_df(df, text_col, id_col, n)
+    JVM-side (array_intersect / array_union).
+
+    ``shingles``: a pre-computed (id, shingles) relation to reuse —
+    callers that already shingled the corpus (dedup_corpus computes the
+    same relation for the MinHash stage) pass it so the tokenize+n-gram
+    subtree runs once, not once per consumer (both join sides read the
+    same relation)."""
+    sh = shingles if shingles is not None else shingle_df(df, text_col, id_col, n)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -745,14 +754,17 @@ def dedup_corpus(
     fuzzy content-level generalization its corpus would need from crawl
     data.
     """
-    sh = shingle_df(df, text_col, id_col, n)
+    # shingle ONCE: the MinHash stage and BOTH Jaccard-verify join sides
+    # read the same materialized relation (the un-shared form re-ran the
+    # tokenize+n-gram explode three times — measured 2.6× the wall)
+    sh = snapshot(shingle_df(df, text_col, id_col, n))
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)
     cand = minhash_lsh_dup_pairs(
         sig, id_col, bands=bands, rows_per_band=rows_per_band, hash_mode=hash_mode
     )
     verified = ngram_jaccard_pairs(
         df, cand.select("id_a", "id_b"), text_col, id_col,
-        n=n, threshold=jaccard_threshold,
+        n=n, threshold=jaccard_threshold, shingles=sh,
     )
     from imgfact_spark.operators.connected_components import connected_components
 
@@ -828,6 +840,17 @@ def decontaminate(
 # ------------------------------------------------- incremental (CDC) dedup
 
 
+class IncrementalDedupResult(NamedTuple):
+    """dedup_against_index output: the surviving new docs, the full
+    updated index (input index ∪ kept bands — write-back for the next
+    batch), and the kept docs' band rows alone (the APPEND delta — what
+    an append-only index store like the streaming consumer persists)."""
+
+    kept: DataFrame
+    updated_index: DataFrame
+    kept_bands: DataFrame
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -838,7 +861,7 @@ def dedup_against_index(
     bands: int = 16,
     rows_per_band: int = 4,
     hash_mode: str = "xxhash64",
-) -> "tuple[DataFrame, DataFrame]":
+) -> IncrementalDedupResult:
     """Incremental near-dup dedup of a NEW batch against a persisted LSH
     band index — the CDC shape a daily-crawl pipeline runs: the corpus is
     never re-shingled; only its (id, band, bh) relation
@@ -854,10 +877,9 @@ def dedup_against_index(
          index, and O(1) passes is the point; run :func:`minhash_dedup` /
          :func:`dedup_corpus` for the transitive batch semantics).
 
-    → ``(kept_new_docs, updated_index)`` where updated_index = the input
-    index plus the kept docs' band rows (union — write it back as the
-    next batch's index).  Band-join cost ∝ bucket collisions, never
-    |index| × |batch|.  Reference analog: the exact-key ``not in idx``
+    → :class:`IncrementalDedupResult` ``(kept, updated_index,
+    kept_bands)``.
+    Band-join cost ∝ bucket collisions, never |index| × |batch|.  Reference analog: the exact-key ``not in idx``
     merge skip (clustering/cluster.py:73) — the incremental fuzzy form a
     continuously-crawled corpus needs.
     """
@@ -892,4 +914,6 @@ def dedup_against_index(
     dropped = vs_index.unionByName(dominated)
     kept = new_docs.join(dropped, id_col, "left_anti")
     kept_bands = survivors.join(dominated, id_col, "left_anti")
-    return kept, index.unionByName(kept_bands)
+    return IncrementalDedupResult(
+        kept, index.unionByName(kept_bands), kept_bands
+    )

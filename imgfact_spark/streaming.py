@@ -429,3 +429,72 @@ def event_anomaly_tables(
         .agg(F.sum("n_partial").alias("n"))
     )
     return zscore_over_counts(counts, keys, trailing, min_history)
+
+
+def incremental_lsh_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
+    await_termination: bool = True,
+):
+    """Streaming NEAR-dup dedup against a persisted LSH band index — the
+    continuously-crawled-corpus form of
+    :func:`~imgfact_spark.operators.dedup.dedup_against_index` (which
+    carries the scale argument; st_dedup_stream is the exact-fingerprint
+    watermarked sibling).  Each drained micro-batch dedups against the
+    index accumulated by every PRIOR batch, appends its surviving docs to
+    ``{work_dir}/kept`` and ONLY their band rows (the
+    ``IncrementalDedupResult.kept_bands`` delta) to ``{work_dir}/index``
+    — the index store is append-only, never rewritten.  Idempotent on
+    foreachBatch retry: each batch overwrites its own batch_id=N
+    partition, exactly like :func:`incremental_extract`.
+    """
+    from pyspark.sql import types as T
+
+    from imgfact_spark.operators.dedup import dedup_against_index
+
+    index_schema = T.StructType(
+        [
+            schema[id_col],
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bh", T.LongType()),
+        ]
+    )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        index_path = f"{work_dir}/index"
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index partitions exist yet
+            index = spark.createDataFrame([], index_schema)
+        res = dedup_against_index(
+            batch_df, index.select(id_col, "band", "bh"), text_col, id_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+            rows_per_band=rows_per_band, hash_mode=hash_mode,
+        )
+        res.kept.write.mode("overwrite").parquet(
+            f"{work_dir}/kept/batch_id={batch_id}"
+        )
+        res.kept_bands.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

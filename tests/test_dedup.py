@@ -499,14 +499,17 @@ def test_dedup_against_index_two_batches(spark):
         ],
         "doc_id long, text string",
     )
-    kept1, index2 = dedup_against_index(batch1, index, "text", "doc_id")
+    res1 = dedup_against_index(batch1, index, "text", "doc_id")
+    kept1, index2 = res1.kept, res1.updated_index
     assert sorted(r["doc_id"] for r in kept1.collect()) == [3]
+    # the append delta holds exactly the kept doc's bands
+    assert {r["doc_id"] for r in res1.kept_bands.collect()} == {3}
     # batch 2: a copy of the batch-1 novel doc must now collide with the
     # UPDATED index (its bands were appended), plus one fresh doc
     batch2 = spark.createDataFrame(
         [(10, novel), (11, "fresh unrelated text about alpine railway tunnels")],
         "doc_id long, text string",
     )
-    kept2, _ = dedup_against_index(batch2, index2.localCheckpoint(eager=True),
-                                   "text", "doc_id")
+    kept2 = dedup_against_index(batch2, index2.localCheckpoint(eager=True),
+                                "text", "doc_id").kept
     assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
