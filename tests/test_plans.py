@@ -245,3 +245,51 @@ def test_inverted_index_two_exchanges(spark):
     plan = _executed(inverted_index(docs, "text", "doc_id", segment_size=16))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "Join" not in plan  # df comes from the window, never a join
+
+
+def test_decontaminate_single_corpus_pass_and_broadcast_bench(spark):
+    """The decontamination plan scans/explodes the corpus grams ONCE (a
+    review pass caught the two-aggregation form re-running the
+    tokenize+explode subtree) and broadcasts the benchmark gram relation."""
+    from imgfact_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        "text", "doc_id", n=3, max_overlap=0.2,
+    )
+    plan = _formatted(out)
+    # exactly TWO Generate (explode) ops: one corpus-gram explode, one
+    # benchmark-gram explode — a third means the corpus pass doubled again
+    # (formatted plans print each op in the tree AND the detail section,
+    # so count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2, plan
+    assert "BroadcastExchange" in plan  # the benchmark gram side
+
+
+def test_dedup_against_index_no_cartesian_and_band_equijoins(spark):
+    """Both incremental-dedup collision phases are (band, bh) equi-joins —
+    never a nested-loop/cartesian product — and the final drop is an
+    anti-join on the id."""
+    from imgfact_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_band_table,
+        minhash_signature,
+        shingle_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter(F.col("doc_id") >= 450)
+    index = minhash_band_table(
+        minhash_signature(shingle_df(old, "text", "doc_id", n=1), "doc_id",
+                          num_hashes=32),
+        "doc_id", bands=4, rows_per_band=8,
+    )
+    res = dedup_against_index(
+        docs.filter(F.col("doc_id") < 450), index, "text", "doc_id",
+        n=1, num_hashes=32, bands=4, rows_per_band=8,
+    )
+    plan = _formatted(res.kept)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
