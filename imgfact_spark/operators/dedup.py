@@ -735,6 +735,7 @@ def dedup_corpus(
     jaccard_threshold: float = 0.8,
     hash_mode: str = "xxhash64",
     max_iter: int = 20,
+    shingle_strategy: str = "candidates",
 ) -> DataFrame:
     """The end-to-end fuzzy-dedup ACTION over a document corpus — the
     composition every web-scale curation pipeline runs (Lee et al. 2022;
@@ -754,18 +755,50 @@ def dedup_corpus(
     fuzzy content-level generalization its corpus would need from crawl
     data.
     """
-    # shingle ONCE: the MinHash stage and BOTH Jaccard-verify join sides
-    # read the same materialized relation (the un-shared form re-ran the
-    # tokenize+n-gram explode three times — measured 2.6× the wall)
-    sh = snapshot(shingle_df(df, text_col, id_col, n))
+    # Corpus-scale cost control — the first cut re-ran the tokenize+
+    # n-gram explode over the WHOLE corpus three times (measured 2.6×
+    # the wall).  Two repairs, chosen by ``shingle_strategy``:
+    #   * "candidates" (default — the 100 TB shape): the corpus is
+    #     shingled exactly once (lazily, feeding MinHash) and the verify
+    #     stage re-shingles only the LSH-candidate docs, a left-semi
+    #     slice that is O(candidate pairs); nothing corpus-sized is ever
+    #     materialized ("shuffle signatures, never the shingles").
+    #   * "checkpoint": eagerly localCheckpoint the corpus shingle
+    #     relation and share it with all three consumers — measured
+    #     ~1.6× faster single-node (97s vs 159s on the 40k calibration
+    #     corpus: the cached arrays also feed MinHash), at the price of
+    #     corpus-scale executor storage and checkpoint blocks that are
+    #     not recomputable on executor loss.  Right for node-local /
+    #     moderate corpora, wrong at cluster scale.
+    # Both produce identical results (pinned by test_dedup).
+    if shingle_strategy not in ("candidates", "checkpoint"):
+        raise ValueError(f"unknown shingle_strategy {shingle_strategy!r}")
+    sh = shingle_df(df, text_col, id_col, n)
+    if shingle_strategy == "checkpoint":
+        sh = snapshot(sh)
     sig = minhash_signature(sh, id_col, num_hashes=num_hashes, hash_mode=hash_mode)
-    cand = minhash_lsh_dup_pairs(
-        sig, id_col, bands=bands, rows_per_band=rows_per_band, hash_mode=hash_mode
+    cand = snapshot(  # pairs-sized; consumed twice (id slice + verify)
+        minhash_lsh_dup_pairs(
+            sig, id_col, bands=bands, rows_per_band=rows_per_band,
+            hash_mode=hash_mode,
+        ).select("id_a", "id_b")
     )
-    verified = ngram_jaccard_pairs(
-        df, cand.select("id_a", "id_b"), text_col, id_col,
-        n=n, threshold=jaccard_threshold, shingles=sh,
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    if shingle_strategy == "checkpoint":
+        verified = ngram_jaccard_pairs(
+            df, cand, text_col, id_col,
+            n=n, threshold=jaccard_threshold, shingles=sh,
+        )
+    else:
+        in_cand = df.join(cand_ids, id_col, "left_semi")
+        verified = ngram_jaccard_pairs(
+            in_cand, cand, text_col, id_col,
+            n=n, threshold=jaccard_threshold,
+        )
     from imgfact_spark.operators.connected_components import connected_components
 
     comp = connected_components(verified, src="id_a", dst="id_b", max_iter=max_iter)

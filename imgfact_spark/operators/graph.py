@@ -159,12 +159,15 @@ def pagerank(
     fixed K either overpays (converged long ago) or under-converges;
     ``tol`` bounds both at one tiny agg per barrier.  The delta is summed
     in EXACT integers, quantized RELATIVE to graph size
-    (floor(|Δ|·n·1e6) per node — per-node deltas are O(1/n), so an
-    absolute floor would read 0 everywhere at large n and stop
-    spuriously), making the stop decision partitioning-invariant with
-    per-node resolution 1e-6/n and ≤1e-6 total L1 slack (``tol`` below
-    ~1e-6 never stops early); the integer sum is bounded by 2e6·n
-    (Σ|Δ| ≤ 2), overflow-safe to n ≈ 4.6·10¹² nodes.
+    (floor(|Δ|·scale) per node, scale = min(n·1e9, 4e18) — per-node
+    deltas are O(1/n), so an absolute floor would read 0 everywhere at
+    large n and stop spuriously), making the stop decision
+    partitioning-invariant.  Flooring underestimates the true delta by
+    at most max(1e-9, n/4e18), so the STOP GUARANTEE is: when the probe
+    fires, the true L1 delta is < tol + max(1e-9, n/4e18) — i.e. tol is
+    honest to 1e-9 for graphs up to 4·10⁹ nodes and the slack grows
+    linearly (and is documented here) beyond.  The integer sum is
+    bounded by 2·scale ≤ 8e18 (Σ|Δ| ≤ 2): no overflow at any n.
     Note the delta spans the WHOLE barrier window (x = checkpoint_every
     iterations in production mode), so a stopped run is exactly
     equivalent to ``pagerank(iterations=stats["iterations_run"])`` —
@@ -308,17 +311,18 @@ def pagerank(
         prev = ranks  # last materialized barrier state (tol probes only)
         iterations_run = iterations
         final_delta = None
-        # Graph-size-relative quantization: per-node term floor(|Δ|·n·1e6).
-        # Per-node deltas are O(1/n), so an ABSOLUTE floor (the first cut
-        # used 1e-9) would quantize every term to 0 once n ≳ 1e9 — spurious
-        # convergence exactly at the scale the operator targets.  Relative
-        # units keep n out of the resolution: per-node resolution is
-        # 1e-6/n (six significant digits of a typical delta at every n),
-        # the total quantization slack is < n·(1/(n·1e6)) = 1e-6 absolute
-        # on the L1 norm (so tol below ~1e-6 never stops early), and the
-        # sum cannot overflow: Σ|Δ| ≤ 2 (two sub-probability vectors), so
-        # the integer sum is ≤ 2e6·n — inside bigint to n ≈ 4.6·10¹².
-        delta_scale = 1e6 * n_nodes
+        # Graph-size-relative quantization: per-node term floor(|Δ|·scale)
+        # with scale = min(n·1e9, 4·10¹⁸).  Per-node deltas are O(1/n), so
+        # an ABSOLUTE floor (the first cut used 1e-9) would quantize every
+        # term to 0 once n ≳ 1e9 — spurious convergence exactly at the
+        # scale the operator targets.  Flooring UNDERESTIMATES: the total
+        # slack is < n/scale = max(1e-9, n/4e18), so the honest stop
+        # guarantee is "true L1 delta < tol + max(1e-9, n/4e18)" — tol
+        # requests at or above 1e-9 are meaningful for every n ≤ 4·10⁹
+        # and degrade gracefully (documented) beyond.  Overflow-safe:
+        # Σ|Δ| ≤ 2 (two sub-probability vectors), so the integer sum is
+        # ≤ 2·scale ≤ 8·10¹⁸ < bigint max at EVERY n.
+        delta_scale = min(1e9 * n_nodes, 4.0e18)
         for it in range(iterations):
             ranks = _step(nodes, e_w, ranks, base, damping, key, deterministic)
             # lineage/plan-size control: barrier only where plan growth says so

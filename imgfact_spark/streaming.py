@@ -472,22 +472,45 @@ def incremental_lsh_dedup(
     src = spark.readStream.schema(schema).parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         index_path = f"{work_dir}/index"
         try:
-            index = spark.read.parquet(index_path)
-        except Exception:  # first batch: no index partitions exist yet
+            # STRICTLY PRIOR batches only (batch_id is the discovered
+            # partition column): on a foreachBatch replay the directory
+            # already holds this batch's own rows from the failed attempt
+            # — reading them back would make every survivor collide with
+            # itself, overwrite kept/batch_id=N with an EMPTY result and
+            # silently lose the batch.  The filter makes the replay
+            # recompute the identical result (true idempotency; the
+            # review pass caught the unfiltered read).
+            index = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") < batch_id)
+                .select(id_col, "band", "bh")
+            )
+        except AnalysisException:
+            # first batch only: the index directory does not exist yet.
+            # Deliberately NARROW — a corrupt/unreadable index must raise,
+            # not be silently treated as empty (that would re-admit every
+            # historical duplicate)
             index = spark.createDataFrame([], index_schema)
         res = dedup_against_index(
-            batch_df, index.select(id_col, "band", "bh"), text_col, id_col,
+            batch_df, index, text_col, id_col,
             n=n, num_hashes=num_hashes, bands=bands,
             rows_per_band=rows_per_band, hash_mode=hash_mode,
         )
-        res.kept.write.mode("overwrite").parquet(
-            f"{work_dir}/kept/batch_id={batch_id}"
-        )
-        res.kept_bands.write.mode("overwrite").parquet(
+        # run the collision chain ONCE: materialize the (tiny, batch-sized)
+        # kept-band delta, then derive the kept docs from its ids — the
+        # two independent lazy writes would each re-scan the accumulated
+        # index and re-run both joins (2N index scans after N batches)
+        kept_bands = res.kept_bands.localCheckpoint(eager=True)
+        kept_bands.write.mode("overwrite").parquet(
             f"{index_path}/batch_id={batch_id}"
         )
+        batch_df.join(
+            kept_bands.select(id_col).distinct(), id_col, "left_semi"
+        ).write.mode("overwrite").parquet(f"{work_dir}/kept/batch_id={batch_id}")
 
     q = (
         src.writeStream.foreachBatch(process)

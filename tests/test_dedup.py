@@ -436,6 +436,17 @@ def test_dedup_corpus_end_to_end_action(spark):
     assert all(r["extra"] == r["doc_id"] * 10 for r in rows)  # columns intact
     # the canonical member of the doc-0 cluster is doc 0 itself
     assert 0 in ids and 1 not in ids
+    # both shingle strategies (candidate-sliced verify vs checkpointed
+    # corpus shingles) produce the identical kept set
+    ids_ckpt = sorted(
+        r["doc_id"]
+        for r in dedup_corpus(
+            df, "text", "doc_id", n=3, num_hashes=64, bands=16,
+            rows_per_band=4, jaccard_threshold=0.5,
+            shingle_strategy="checkpoint",
+        ).collect()
+    )
+    assert ids_ckpt == want
 
 
 def test_decontaminate_threshold_semantics(spark):
