@@ -59,14 +59,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------------ shingles
 
 
+def _sliding_concat(toks: Column, n: int, num) -> Column:
+    """Space-joined word n-grams as a zip_with chain over ``n`` shifted
+    slices — LINEAR in document length.
+
+    The previous form, ``transform(sequence(1..num), j -> concat_ws(" ",
+    slice(toks, j, n)))``, re-slices the token array per element: O(len)
+    per gram ⇒ O(len²) per document (measured 8.8 s vs 0.47 s for the
+    bench shingle pass over 3.1M shingles — guide §1.2 "fix the
+    distributed algorithm / per-task work first", and the repo's own
+    zip_with-over-shifted-slices lesson from repetition_ratio).
+
+    Value-identical to the transform form: element j-1 joins
+    toks[j..j+n-1]; slices truncate at the array end, zip_with pads the
+    tail with NULLs, and concat_ws skips NULLs — exactly the
+    shorter-than-n tail grams the slice form produced.  ``num`` is the
+    gram count (Column, >= 1)."""
+    acc = F.slice(toks, 1, num)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, i + 1, num),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return acc
+
+
 def _shingles(text_col: str, n: int) -> Column:
     """Word n-gram shingle array of the lowercased text (distinct)."""
     toks = normalized_tokens(text_col)
     num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), num - 1)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    return F.array_distinct(_sliding_concat(toks, n, num))
 
 
 def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -424,10 +447,7 @@ def _gram_positions(
     n_grams = F.col("n_tokens") - F.lit(k - 1)
     gram_arr = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams.cast("int")),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
-        ),
+        _sliding_concat(F.col("_t"), k, n_grams.cast("int")),
     ).otherwise(F.array().cast("array<string>"))
     grams = snapshot(
         base.select(F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")).select(
@@ -644,10 +664,7 @@ def winnow_fingerprints(
     n_grams = F.col("n_tokens") - F.lit(k - 1)
     gram_arr = F.when(
         n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams.cast("int")),
-            lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
-        ),
+        _sliding_concat(F.col("_t"), k, n_grams.cast("int")),
     ).otherwise(F.array().cast("array<string>"))
     grams = base.select(
         F.col(id_col), F.posexplode(gram_arr).alias("_p0", "_gram")
