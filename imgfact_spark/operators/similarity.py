@@ -308,9 +308,31 @@ def ivf_train_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     deterministic: bool = False,
+    prepared: bool = False,
+    max_driver_train_rows: int = 200_000,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer for IVF (the second ANN scale
     path next to LSH; FAISS-style IVF over a DataFrame).
+
+    ``prepared=True``: the caller passes an already-materialized
+    (id, vec) projection (ivf_topk / semantic_dedup share ONE snapshot
+    across init scan, Lloyd iterations and final cell assignment) — skip
+    the internal projection + snapshot.
+
+    Fast mode trains DRIVER-SIDE when the corpus fits
+    ``max_driver_train_rows`` (same 200k × 64-float ≈ 110 MB bound as the
+    broadcast-small query contract): coarse-quantizer training is the one
+    stage whose input is routinely sample-sized — FAISS trains IVF on a
+    driver/GPU sample even for billion-vector indexes — and the
+    distributed loop's n_iters sequential job barriers (assign → explode →
+    agg → collect per iteration) are pure scheduling latency at that size.
+    One bounded collect replaces n_iters+2 jobs; same init policy (md5
+    key order), same argmax assignment, same mean recentre — values equal
+    up to float associativity, exactly the fast path's existing contract.
+    Above the bound (or with ``deterministic=True``, the oracle path —
+    bitwise-pinned to the map-reduce plan) the distributed loop runs
+    unchanged; at true corpus scale pass a sample, as every IVF build
+    does.
 
     Deterministic: init = the ``n_cells`` corpus vectors with the smallest
     md5(seed, id) keys; Lloyd iterations assign by max cosine (normalized
@@ -330,9 +352,34 @@ def ivf_train_centroids(
     fold collects per-group values, so this mode is for oracle/test scale;
     the default map-reduce partial-sum path is the 100 TB one.
     """
+    method = "column" if deterministic else "pandas"
+    # Materialize the (id, vec) projection ONCE: the init scan and every
+    # Lloyd iteration are full passes over it, and the un-snapshotted
+    # lineage re-ran the source scan + the ensure_parallelism repartition
+    # per pass (n_iters + 2 scans and shuffles of the vectors).  k-means
+    # training input is the classic cache candidate (guide §5: reused AND
+    # expensive to recompute); the materialized relation is the pruned
+    # (id, vec) projection only.
+    c = (
+        corpus
+        if prepared
+        else snapshot(ensure_parallelism(corpus.select(id_col, vec_col)))
+    )
+    if not deterministic:
+        # bounded probe-collect: ≤ max+1 rows ever reach the driver; a
+        # corpus past the bound falls through to the distributed loop
+        rows = c.select(id_col, vec_col).limit(max_driver_train_rows + 1).collect()
+        if not rows:
+            raise ValueError("ivf_train_centroids: empty corpus")
+        if len(rows) <= max_driver_train_rows:
+            ids = [r[id_col] for r in rows]
+            mat = np.vstack(
+                [np.asarray(r[vec_col], dtype="float64") for r in rows]
+            )
+            return _train_centroids_numpy_fast(ids, mat, n_cells, n_iters, seed)
     key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
     init_rows = (
-        corpus.select(vec_col, key.alias("_k"))
+        c.select(vec_col, key.alias("_k"))
         .orderBy("_k")
         .limit(n_cells)
         .collect()
@@ -345,8 +392,6 @@ def ivf_train_centroids(
     norms[norms == 0] = 1.0
     cents = cents / norms
 
-    method = "column" if deterministic else "pandas"
-    c = ensure_parallelism(corpus.select(id_col, vec_col))
     for _ in range(n_iters):
         assigned = _assign_cells(c, cents, vec_col, method=method)
         vals = assigned.select("_cell", F.posexplode(vec_col).alias("_pos", "_x"))
@@ -368,6 +413,43 @@ def ivf_train_centroids(
         for r in stats:
             acc.setdefault(r["_cell"], np.zeros(dim))[r["_pos"]] = r["_s"] / r["_n"]
         for cell, vec in acc.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cents = new
+    return cents
+
+
+def _train_centroids_numpy_fast(
+    ids, mat: np.ndarray, n_cells: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Driver-side Lloyd loop for the FAST (non-deterministic) path —
+    semantics mirror the distributed fast plan exactly: md5-key init
+    (identical keys to the Spark expression), assignment = stable argmax
+    of normalized-vector · centroid (the pandas `_assign_cells` kernel),
+    recentre = mean of the RAW member vectors, empty cells keep their
+    centroid.  Values equal up to float associativity (BLAS vs
+    partial-sum merge order) — the fast path's existing contract.  Not
+    the oracle twin: that is :func:`ivf_train_centroids_numpy`, which
+    pins the deterministic sorted-fold plan bitwise."""
+    import hashlib
+
+    keys = [
+        hashlib.md5(f"{seed}\x1f{i}".encode()).hexdigest() for i in ids
+    ]
+    order = sorted(range(len(keys)), key=lambda j: keys[j])[:n_cells]
+    cents = mat[order].astype("float64").copy()
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mn = mat / nrm
+    for _ in range(n_iters):
+        cells = np.argmax(mn @ cents.T, axis=1)  # first max == pandas kernel
+        new = cents.copy()
+        for cell in np.unique(cells):
+            vec = mat[cells == cell].mean(axis=0)
             n = np.linalg.norm(vec)
             if n > 0:
                 new[cell] = vec / n
@@ -504,18 +586,15 @@ def ivf_topk(
     bitwise-replicable in DuckDB with the trained centroids as literals
     (the oracle-checked driver query s_ivf_topk).
     """
+    # ONE materialized (id, vec) projection feeds the init scan, every
+    # training iteration AND the final cell assignment — the previous
+    # lineage re-scanned + re-repartitioned the source per pass.
+    c0 = snapshot(ensure_parallelism(corpus.select(id_col, vec_col)))
     cents = ivf_train_centroids(
-        corpus, dim, n_cells, n_iters, id_col, vec_col, seed,
-        deterministic=deterministic,
+        c0, dim, n_cells, n_iters, id_col, vec_col, seed,
+        deterministic=deterministic, prepared=True,
     )
-    assigned = snapshot(
-        _assign_cells(
-            ensure_parallelism(corpus.select(id_col, vec_col)),
-            cents,
-            vec_col,
-            method=method,
-        )
-    )
+    assigned = snapshot(_assign_cells(c0, cents, vec_col, method=method))
 
     nprobe_eff = min(nprobe, len(cents))
     if method == "column":
@@ -653,11 +732,13 @@ def semantic_dedup(
     (composite-key dropDuplicates, SURVEY §2 A5); this is the embedding-
     space near-dup its corpus curation lacks.
     """
-    c = ensure_parallelism(corpus.select(id_col, vec_col))
+    # shared materialized projection: training passes + final assignment
+    c = snapshot(ensure_parallelism(corpus.select(id_col, vec_col)))
     if centroids is None:
         centroids = ivf_train_centroids(
             c, dim, n_cells=n_cells, n_iters=n_iters, id_col=id_col,
             vec_col=vec_col, seed=seed, deterministic=deterministic,
+            prepared=True,
         )
     assigned = snapshot(
         _assign_cells(c, centroids, vec_col, method=method).select(

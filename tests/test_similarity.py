@@ -312,6 +312,35 @@ def test_ivf_deterministic_training_matches_numpy_replica(spark):
     assert np.array_equal(got, got2)
 
 
+def test_ivf_fast_driver_training_matches_distributed_loop(spark):
+    """Fast-mode training collects and trains driver-side under the
+    max_driver_train_rows contract (r7 job-latency optimization); forcing
+    the bound to 0 must take the distributed Lloyd loop, and the two must
+    agree to float-associativity tolerance (the fast path's contract) with
+    identical cell assignments on the fixture."""
+    from imgfact_spark.operators.similarity import (
+        _assign_cells,
+        ivf_train_centroids,
+    )
+
+    df, _ = _vectors(spark)
+    fast = ivf_train_centroids(df, DIM, n_cells=8, n_iters=3)
+    dist = ivf_train_centroids(
+        df, DIM, n_cells=8, n_iters=3, max_driver_train_rows=0
+    )
+    assert fast.shape == dist.shape
+    assert np.allclose(fast, dist, atol=1e-9), "training paths diverge"
+    a_fast = {
+        r["vec_id"]: r["_cell"]
+        for r in _assign_cells(df, fast, "embedding").collect()
+    }
+    a_dist = {
+        r["vec_id"]: r["_cell"]
+        for r in _assign_cells(df, dist, "embedding").collect()
+    }
+    assert a_fast == a_dist
+
+
 def test_ivf_column_mode_matches_pandas_candidates(spark):
     """column-mode ivf_topk (sequential dots, the oracle path) retrieves
     the planted self-match for every query and is partitioning-invariant."""
