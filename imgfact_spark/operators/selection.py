@@ -179,8 +179,15 @@ def dsir_weights(
     raw = snapshot(_bucketed_bigrams(df, text_col, id_col, buckets))
     tgt = _bucketed_bigrams(target, text_col, id_col, buckets)
 
-    raw_b = raw.groupBy("_bucket").agg(F.sum("_nb").alias("_cr"))
-    tgt_b = tgt.groupBy("_bucket").agg(F.sum("_nb").alias("_ct"))
+    # The per-bucket count relations are ≤ B rows but each had TWO
+    # consumers (the lr join and its own total, which plans as a separate
+    # broadcast-subquery job) — un-materialized, the whole upstream corpus
+    # pass re-ran per consumer (the target tokenize+hash pass twice, the
+    # raw 2.6M-row aggregate twice at bench scale; measured ~1.5 s of the
+    # section).  Materialize the B-row relations once; the totals then
+    # aggregate the tiny snapshots.  Values identical: integer count sums.
+    raw_b = snapshot(raw.groupBy("_bucket").agg(F.sum("_nb").alias("_cr")))
+    tgt_b = snapshot(tgt.groupBy("_bucket").agg(F.sum("_nb").alias("_ct")))
     raw_tot = raw_b.agg(F.sum("_cr").alias("_tr"))
     tgt_tot = tgt_b.agg(F.sum("_ct").alias("_tt"))
 
@@ -199,8 +206,13 @@ def dsir_weights(
         )
     )
 
+    # the log-ratio relation is exactly B rows — broadcast it onto the
+    # (corpus-sized) raw side below the dimension-table bound so the fold
+    # join never shuffles the doc-bucket relation; a 10⁸-bucket config
+    # still flips to an AQE shuffle join with no code change
+    lr_side = F.broadcast(lr) if buckets <= 2_000_000 else lr
     folded = (
-        raw.join(lr, "_bucket")
+        raw.join(lr_side, "_bucket")
         .select("_id", "_bucket", (F.col("_nb") * F.col("_lr")).alias("_c"), "_nb")
         .groupBy("_id")
         .agg(
