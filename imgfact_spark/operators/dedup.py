@@ -121,6 +121,16 @@ def minhash_signature(
     ``hash_mode="md5"`` switches to the cross-engine md5-prefix hash so a
     DuckDB oracle can replicate signatures exactly (driver queries)."""
     ex = df.select(F.col(id_col), F.explode_outer(shingle_col).alias("_sh"))
+    if hash_mode == "xxhash64":
+        # Production family: hash the shingle STRING once, derive the
+        # num_hashes values from the 8-byte base hash (xxhash64 folds the
+        # salt into the base hash's avalanche output — the classic
+        # derive-k-hashes-from-one composition).  The previous form
+        # re-hashed the string per salt: num_hashes × O(len) string
+        # passes per shingle vs one (measured ~0.8 s of the bench
+        # section).  Same minwise-independence quality; md5 (oracle) mode
+        # is untouched — its values are replayed by DuckDB oracles.
+        ex = ex.select(F.col(id_col), F.xxhash64("_sh").alias("_sh"))
     aggs = [
         F.min(_h64("_sh", i, hash_mode)).alias(f"_h{i}") for i in range(num_hashes)
     ]
@@ -142,22 +152,25 @@ def minhash_band_table(
     per document.  This relation IS the persistent artifact an incremental
     pipeline keeps between crawl batches (:func:`dedup_against_index`);
     :func:`minhash_lsh_dup_pairs` self-joins it for the batch case."""
+    def _band_hash(b: int) -> Column:
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if hash_mode == "xxhash64":
+            # production: fold the row hashes directly (JVM-native multi-
+            # column xxhash64) instead of stringifying + concatenating +
+            # string-hashing them — same collision contract (equal band
+            # rows ⇒ equal hash), no per-row string materialization.
+            # md5 (oracle) mode keeps the DuckDB-replayable string form.
+            return F.xxhash64(*elems)
+        return _h64(
+            F.concat_ws(",", *[e.cast("string") for e in elems]), None, hash_mode
+        )
+
     band_arr = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _h64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
-                    None,
-                    hash_mode,
-                ).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
             for b in range(bands)
         ]
     )
