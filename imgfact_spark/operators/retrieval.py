@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from imgfact_spark.operators.topk import topk_per_group
-from imgfact_spark.operators.util import snapshot
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -64,24 +63,20 @@ def bm25_topk(
     """
     terms = sorted({t.strip().lower() for t in query_terms if t and t.strip()})
     toks = _tokens(text_col)
-    # ONE tokenize pass: `stats` (N, avgdl) and `hits` both consumed the
-    # full tokenized relation, so the corpus was tokenized twice.  Project
-    # to (id, dl, query-term hits) — a tiny per-doc row — and snapshot it;
-    # both consumers read the materialized relation (values identical:
-    # one row per doc either way).  At 100 TB the snapshot holds only
-    # ids + lengths + query-term hits, never the token arrays.
-    pre = snapshot(
-        docs.select(
-            F.col(id_col),
-            F.size(toks).alias("dl"),
-            F.filter(toks, lambda t: t.isin(terms)).alias("_qt"),
-        )
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl")
     )
-    stats = pre.agg(
+    stats = base.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    hits = pre.select(id_col, "dl", F.explode("_qt").alias("term"))
+    hits = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter("_toks", lambda t: t.isin(terms))
+        ).alias("term"),
+    )
     tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
     contrib = (
@@ -182,23 +177,18 @@ def bm25_topk_queries(
         F.array_sort(F.collect_set("term")).alias("_qterms")
     )
     toks = _tokens(text_col)
-    # ONE tokenize pass shared by stats and hits (see bm25_topk): project
-    # to (id, dl, query-term hits) and snapshot — the materialized relation
-    # is per-doc metadata plus query-term hits only, never token arrays.
-    pre = snapshot(
-        docs.crossJoin(F.broadcast(qarr)).select(
-            F.col(id_col),
-            F.size(toks).alias("dl"),
-            F.filter(
-                toks, lambda t: F.array_contains(F.col("_qterms"), t)
-            ).alias("_qt"),
-        )
-    )
-    stats = pre.agg(
+    base = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("dl"))
+    stats = base.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    hits = pre.select(id_col, "dl", F.explode("_qt").alias("term"))
+    hits = base.crossJoin(F.broadcast(qarr)).select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter("_toks", lambda t: F.array_contains(F.col("_qterms"), t))
+        ).alias("term"),
+    )
     tf = hits.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
     contrib = (
