@@ -70,5 +70,23 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        # hash-min propagates one hop per round: a component with diameter
+        # > max_iter exits here with SPLIT labels — for a dedup consumer
+        # that is silent under-dedup.  Surface it loudly (r6 ADVICE item);
+        # callers needing a hard stop can treat the warning as an error
+        # via warnings.simplefilter.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: labels still changing after max_iter="
+            f"{max_iter} rounds — components with diameter > {max_iter} "
+            "are split; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

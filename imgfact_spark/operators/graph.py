@@ -331,7 +331,12 @@ def pagerank(
             last = it + 1 == iterations
             if deterministic or last or (it + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-                if tol is not None and not last:
+                # the delta is ALSO computed at the final barrier (not only
+                # intermediate ones) so a tol-requesting caller always gets
+                # stats["final_delta"], even when iterations <= checkpoint
+                # window made every earlier probe unreachable (r6 ADVICE
+                # item); the break below stays a no-op on the last round.
+                if tol is not None:
                     # both sides materialized → one node-sized join + tiny agg;
                     # integer-exact terms make the stop partitioning-invariant
                     prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})

@@ -489,11 +489,20 @@ def incremental_lsh_dedup(
                 .filter(F.col("batch_id") < batch_id)
                 .select(id_col, "band", "bh")
             )
-        except AnalysisException:
+        except AnalysisException as exc:
             # first batch only: the index directory does not exist yet.
-            # Deliberately NARROW — a corrupt/unreadable index must raise,
-            # not be silently treated as empty (that would re-admit every
-            # historical duplicate)
+            # Match the ERROR CLASS, not just the exception type — in
+            # Spark 4 column-resolution/schema errors on an existing but
+            # malformed index directory are also AnalysisException, and a
+            # corrupt index silently treated as empty would re-admit
+            # every historical duplicate (r6 ADVICE item).
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition")
+                else exc.getErrorClass()
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
             index = spark.createDataFrame([], index_schema)
         res = dedup_against_index(
             batch_df, index, text_col, id_col,
