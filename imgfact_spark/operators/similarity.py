@@ -367,15 +367,18 @@ def ivf_train_centroids(
     )
     if not deterministic:
         # bounded probe-collect: ≤ max+1 rows ever reach the driver; a
-        # corpus past the bound falls through to the distributed loop
-        rows = c.select(id_col, vec_col).limit(max_driver_train_rows + 1).collect()
-        if not rows:
+        # corpus past the bound falls through to the distributed loop.
+        # Arrow transfer (toPandas), NOT collect(): row-based collect of
+        # 150k array<float> rows measured ~30 s of pure driver
+        # deserialization — more than the whole distributed loop — while
+        # the Arrow path moves the same batch in ~1 s (guide §6 "Arrow
+        # for driver transfers").
+        pdf = c.select(id_col, vec_col).limit(max_driver_train_rows + 1).toPandas()
+        if len(pdf) == 0:
             raise ValueError("ivf_train_centroids: empty corpus")
-        if len(rows) <= max_driver_train_rows:
-            ids = [r[id_col] for r in rows]
-            mat = np.vstack(
-                [np.asarray(r[vec_col], dtype="float64") for r in rows]
-            )
+        if len(pdf) <= max_driver_train_rows:
+            ids = pdf[id_col].tolist()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             return _train_centroids_numpy_fast(ids, mat, n_cells, n_iters, seed)
     key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
     init_rows = (
