@@ -49,6 +49,47 @@ def test_exact_dedup(spark):
     assert 0 in ids and 2 in ids  # near-dup SURVIVES exact dedup
 
 
+def test_sliding_concat_matches_transform_slice_reference(spark):
+    """The r7 linear-time gram builder (_sliding_concat, zip_with chain)
+    must be VALUE-IDENTICAL to the reference transform+slice form it
+    replaced — including the short-document tail grams produced by slice
+    truncation — for every gram width in use (1, 2, 3, 5, 13)."""
+    from imgfact_spark.functions.text import normalized_tokens
+    from imgfact_spark.operators.dedup import _sliding_concat
+
+    edge = spark.createDataFrame(
+        [
+            (str(i), t)
+            for i, t in enumerate(
+                [
+                    "", " ", "\t\n", "a", "a b", "a b c", "a  b\tc d",
+                    "x " * 30, "one two three four five six",
+                    "A B a b A B a", "  lead trail  ",
+                ]
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    for n in (1, 2, 3, 5, 13):
+        toks = normalized_tokens("text")
+        num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        ref = F.transform(
+            F.sequence(F.lit(0), num - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        new = _sliding_concat(toks, n, num)
+        bad = (
+            edge.select(ref.alias("r"), new.alias("n"))
+            .filter(
+                F.col("r").isNull()
+                | F.col("n").isNull()
+                | (F.col("r") != F.col("n"))
+            )
+            .count()
+        )
+        assert bad == 0, f"gram builder diverges at n={n}"
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     df = _corpus(spark)
     sh = shingle_df(df, "text", "doc_id", n=2)
