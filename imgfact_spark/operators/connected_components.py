@@ -83,9 +83,11 @@ def connected_components(
         import warnings
 
         warnings.warn(
-            f"connected_components: labels still changing after max_iter="
-            f"{max_iter} rounds — components with diameter > {max_iter} "
-            "are split; raise max_iter",
+            "connected_components: convergence UNCONFIRMED after "
+            f"max_iter={max_iter} rounds (the final round still changed "
+            "labels — either the fixpoint landed exactly on the last "
+            f"round, or components with diameter > {max_iter} are split); "
+            "raise max_iter to confirm",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -141,6 +141,19 @@ def minhash_signature(
     )
 
 
+#: Version of the PRODUCTION (xxhash64-mode) minhash/band hash family.
+#: r7 changed the family (one base string hash + derived salts; band
+#: hashes fold signature longs directly), so band/bh values are NOT
+#: comparable across versions: a band index persisted under an older
+#: family matches nothing computed under this one — silently keeping
+#: every historical duplicate.  Any store that persists band relations
+#: between runs (e.g. the streaming incremental-dedup index) must be
+#: REBUILT when this number changes; record it next to the index (the
+#: input-fingerprint convention) so a mismatch is detectable.  md5
+#: (oracle) mode is engine-pinned and unversioned.
+MINHASH_FAMILY_VERSION = 2
+
+
 def minhash_band_table(
     sig_df: DataFrame,
     id_col: str,
@@ -151,7 +164,11 @@ def minhash_band_table(
     """The storable LSH band index: (id, band, bh) — ``bands`` 16-byte rows
     per document.  This relation IS the persistent artifact an incremental
     pipeline keeps between crawl batches (:func:`dedup_against_index`);
-    :func:`minhash_lsh_dup_pairs` self-joins it for the batch case."""
+    :func:`minhash_lsh_dup_pairs` self-joins it for the batch case.
+
+    Persisted xxhash64-mode band relations are only valid against the
+    :data:`MINHASH_FAMILY_VERSION` they were written under — rebuild the
+    index on a family bump (see the constant's docstring)."""
     def _band_hash(b: int) -> Column:
         elems = [
             F.element_at("sig", b * rows_per_band + r + 1)

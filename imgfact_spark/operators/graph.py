@@ -331,12 +331,17 @@ def pagerank(
             last = it + 1 == iterations
             if deterministic or last or (it + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
-                # the delta is ALSO computed at the final barrier (not only
-                # intermediate ones) so a tol-requesting caller always gets
-                # stats["final_delta"], even when iterations <= checkpoint
-                # window made every earlier probe unreachable (r6 ADVICE
-                # item); the break below stays a no-op on the last round.
-                if tol is not None:
+                # the delta is ALSO computed at the final barrier when the
+                # caller asked for stats, so a tol-requesting caller always
+                # gets stats["final_delta"] even when iterations <= the
+                # checkpoint window made every earlier probe unreachable
+                # (r6 ADVICE item).  At the final barrier the probe is
+                # observability only (no stop decision left), so it is
+                # skipped when stats is None — no extra job for plain
+                # callers.  As documented above, the delta spans the WHOLE
+                # barrier window (up to checkpoint_every iterations; at
+                # the first-and-only barrier, since initialization).
+                if tol is not None and (not last or stats is not None):
                     # both sides materialized → one node-sized join + tiny agg;
                     # integer-exact terms make the stop partitioning-invariant
                     prev_side = prev.withColumnsRenamed({"rank": "_rank_prev"})

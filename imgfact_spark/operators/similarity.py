@@ -360,11 +360,7 @@ def ivf_train_centroids(
     # training input is the classic cache candidate (guide §5: reused AND
     # expensive to recompute); the materialized relation is the pruned
     # (id, vec) projection only.
-    c = (
-        corpus
-        if prepared
-        else snapshot(ensure_parallelism(corpus.select(id_col, vec_col)))
-    )
+    proj = corpus if prepared else corpus.select(id_col, vec_col)
     if not deterministic:
         # bounded probe-collect: ≤ max+1 rows ever reach the driver; a
         # corpus past the bound falls through to the distributed loop.
@@ -372,14 +368,23 @@ def ivf_train_centroids(
         # 150k array<float> rows measured ~30 s of pure driver
         # deserialization — more than the whole distributed loop — while
         # the Arrow path moves the same batch in ~1 s (guide §6 "Arrow
-        # for driver transfers").
-        pdf = c.select(id_col, vec_col).limit(max_driver_train_rows + 1).toPandas()
+        # for driver transfers").  The probe runs BEFORE any snapshot so
+        # the driver-trained common case never pays a corpus
+        # materialization it would not reuse.
+        pdf = (
+            proj.select(id_col, vec_col)
+            .limit(max_driver_train_rows + 1)
+            .toPandas()
+        )
         if len(pdf) == 0:
             raise ValueError("ivf_train_centroids: empty corpus")
         if len(pdf) <= max_driver_train_rows:
             ids = pdf[id_col].tolist()
             mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             return _train_centroids_numpy_fast(ids, mat, n_cells, n_iters, seed)
+    # deterministic or above-bound: the init scan + every Lloyd pass reads
+    # the projection — materialize it once (see docstring)
+    c = proj if prepared else snapshot(ensure_parallelism(proj))
     key = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string")))
     init_rows = (
         c.select(vec_col, key.alias("_k"))
@@ -735,9 +740,12 @@ def semantic_dedup(
     (composite-key dropDuplicates, SURVEY §2 A5); this is the embedding-
     space near-dup its corpus curation lacks.
     """
-    # shared materialized projection: training passes + final assignment
-    c = snapshot(ensure_parallelism(corpus.select(id_col, vec_col)))
+    c = ensure_parallelism(corpus.select(id_col, vec_col))
     if centroids is None:
+        # shared materialized projection: training passes + final
+        # assignment.  With caller-provided centroids the assignment is
+        # the projection's ONLY consumer — no snapshot then.
+        c = snapshot(c)
         centroids = ivf_train_centroids(
             c, dim, n_cells=n_cells, n_iters=n_iters, id_col=id_col,
             vec_col=vec_col, seed=seed, deterministic=deterministic,

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import sys
 import tempfile
 import time
 
@@ -53,9 +52,9 @@ def main():
 
         from imgfact_spark.functions.text import normalized_tokens
         from imgfact_spark.operators.dedup import (
-            _h64, minhash_lsh_dup_pairs, minhash_signature, shingle_df,
+            minhash_lsh_dup_pairs, minhash_signature, shingle_df,
         )
-        from imgfact_spark.operators.util import ensure_parallelism, snapshot
+        from imgfact_spark.operators.util import ensure_parallelism
 
         # corpus volume facts
         sh = shingle_df(d, "text", "doc_id", n=3)
